@@ -1,0 +1,91 @@
+"""Fixture-table catalog.
+
+The driver generates TPC-H-ish parquet at ``/root/testdata/sf*/`` (see
+TESTDATA.md / FIXTURES.md). Loaders here are the only place paths are
+spelled out; every query takes ``(spark, sf_dir)`` and pulls tables
+through :func:`load_table` so filters/projections still push down to the
+parquet scan (we return the raw ``spark.read.parquet`` DataFrame, never a
+cached/materialized copy).
+
+At 100 TB the same loader maps to partitioned/bucketed external tables:
+the API surface (name -> DataFrame) is unchanged; only the storage layout
+option strings differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor — region
+# and nation are fixed-cardinality (5 / 25 rows) regardless of sf, exactly
+# like the reference's fixed 12-service topic namespace (index.html:98-109).
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def normalize(name: str, df: DataFrame) -> DataFrame:
+    """Schema normalization applied to every scan (batch and streaming).
+
+    events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+    int64 nanoseconds and is converted here to a microsecond
+    TimestampType via integer division (`div 1000` — no double rounding),
+    matching DuckDB's ns→us truncation so the oracle sees identical
+    instants.
+    """
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def ensure_reader_conf(spark: SparkSession, name: str) -> None:
+    """Make any caller's session able to read the fixtures.
+
+    The driver harness builds its own SparkSession without our confs;
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so set
+    it defensively — without it Spark 4 rejects the events table's
+    TIMESTAMP(NANOS). Applies to batch and streaming reads alike.
+    """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover - conf locked down
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw parquet scan for one fixture table (lazy; pushdown-friendly)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    ensure_reader_conf(spark, name)
+    return normalize(name, spark.read.parquet(table_path(sf_dir, name)))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,204 @@
+"""Deduplication operators (exact and near-dup) over `documents`.
+
+The LLM-data-pipeline dedup ladder, each a separate declared query:
+
+- exact:   hash-groupBy on the full text (one shuffle on the text hash);
+- minhash: MinHash+LSH over word shingles — O(n) per doc, candidate
+  pairs only where a band bucket collides (bucket-join, no crossJoin);
+- ngram Jaccard: exact verification on blocked candidate pairs.
+
+At 100 TB exact dedup groups on a 128-bit fingerprint instead of the
+raw text (shuffle carries 16 bytes/doc, not the document), and LSH bands
+are the only crossing structure — the corpus is never self-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Deterministic MinHash: k independent permutations h_i(x) = (a_i*x + b_i) mod p
+# over token hashes reduced into [0, p). Seeds fixed so every run/engine sees
+# the same signatures (SURVEY §7: "LSH determinism: seed everything").
+# p = 2^31-1 keeps a*h+b < 2^63 — no int64 overflow under Spark ANSI mode.
+_MERSENNE_P = (1 << 31) - 1
+_N_HASHES = 32
+_N_BANDS = 8  # 8 bands × 4 rows — catches jaccard ≳ 0.5 pairs w.h.p.
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    rng_state = 0x5EED
+    params = []
+    for _ in range(_N_HASHES):
+        # xorshift64 — deterministic, no external RNG dependency
+        rng_state ^= (rng_state << 13) & ((1 << 64) - 1)
+        rng_state ^= rng_state >> 7
+        rng_state ^= (rng_state << 17) & ((1 << 64) - 1)
+        a = (rng_state % (_MERSENNE_P - 1)) + 1
+        rng_state ^= (rng_state << 13) & ((1 << 64) - 1)
+        rng_state ^= rng_state >> 7
+        rng_state ^= (rng_state << 17) & ((1 << 64) - 1)
+        b = rng_state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text_hash, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(keeper_doc_id AS BIGINT) AS keeper_doc_id
+    FROM (
+      SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+             MIN(doc_id) AS keeper_doc_id
+      FROM documents GROUP BY md5(text)
+    )
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a text fingerprint, keep min doc_id.
+
+    Grouping on md5(text) instead of text itself: the shuffle moves a
+    32-hex key per document, not the document — the difference between
+    feasible and not at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → array of _N_HASHES minhash values over word tokens.
+
+    Built-ins only: tokenize → xxhash64 per token → for each permutation
+    take the min via higher-order `transform`+`array_min`. No Python in
+    the path; signatures are 32×8 bytes per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    hashed = F.transform(
+        toks, lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE_P))
+    )
+    sig_cols = []
+    for i, (a, b) in enumerate(_minhash_params()):
+        # min over tokens of (a*h + b) mod p  — one permutation
+        perm = F.transform(
+            hashed,
+            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)),
+        )
+        sig_cols.append(F.array_min(perm).alias(f"mh_{i}"))
+    return d.select("doc_id", *sig_cols)
+
+
+@query("q_dedup_near")  # rows-only: LSH candidate sets are engine-specific
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding.
+
+    Signatures → band keys (hash of 4 consecutive minhashes) → self-join
+    per band bucket → distinct candidate pairs with estimated jaccard
+    (fraction of agreeing minhashes). The corpus is never cross-joined:
+    only docs sharing a band bucket meet, so the join is an equi hash
+    join on (band_id, band_key) that scales linearly with collisions.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = []
+    for band in range(_N_BANDS):
+        cols = [f"mh_{i}" for i in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band_id"),
+                F.xxhash64(*cols).alias("band_key"),
+                F.array(*[F.col(c) for c in [f"mh_{i}" for i in range(_N_HASHES)]]).alias("sig"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(_N_HASHES))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.words, b.words))), 6)
+             AS jaccard
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs (same `source`).
+
+    The blocking key bounds the quadratic term: pairs form only within a
+    source partition (at scale: within an LSH bucket — see
+    q_dedup_near). Set ops run as JVM higher-order functions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("words"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(
+        F.array_distinct(F.concat(F.col("a.words"), F.col("b.words")))
+    )
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as `binary` columns with typed
+metadata travelling alongside (SURVEY §2.2 north-star). The Spark-side
+plumbing — schema, Arrow batch shape, `mapInPandas` signature,
+partitioning — is real and tested; the actual media decode is STUBBED
+(`NotImplementedError`) because no image/audio libs exist in this
+container. A deterministic fake "decoder" exercises the identical code
+path for tests and the rows-only driver check.
+
+Scale notes: media blobs ride the same parquet row groups as their
+metadata; `mapInPandas` streams Arrow batches so one task never holds
+more than `spark.sql.execution.arrow.maxRecordsPerBatch` blobs. Filters
+on metadata columns prune row groups *before* blob bytes are read
+(parquet column chunks are independent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, checksum bigint, feature_dim int"
+)
+
+
+def decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decoder stub — the production `mapInPandas` entry point.
+
+    Would decode image/audio bytes (PIL/librosa/av) into feature rows.
+    The libraries are not available in this environment by design.
+    """
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; use fake_decode_features for the plumbing-path tests"
+    )
+
+
+def fake_decode_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder with the production signature/schema.
+
+    Features: payload byte length and a rolling additive checksum —
+    stable across engines and runs, so tests can assert exact values.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "checksum": payloads.map(
+                    lambda b: sum(b) % 1_000_003
+                ).astype("int64"),
+                "feature_dim": 64,
+            }
+        )
+
+
+def with_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized binary payload column (utf-8 of text) —
+    stands in for image/audio bytes; the engine treats it opaquely."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake/plain").alias("mime"),
+            F.col("n_chars").cast("bigint").alias("raw_size"),
+        ).alias("media_meta"),
+    )
+
+
+@query(
+    "q_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           'fake/plain' AS mime
+    FROM documents
+    """,
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary + struct metadata columns carried through relational ops.
+
+    Round-trips a BinaryType payload and a nested StructType metadata
+    column through projection/filter, then projects portable scalars
+    (byte length, md5) for the oracle.
+    """
+    df = with_binary_payload(spark, sf_dir)
+    return df.filter(F.col("media_meta.raw_size") > 0).select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+@query("q_multimodal_features")  # rows-only: fake-decoder features
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full mapInPandas decode pipeline over Arrow batches (fake
+    decoder standing in for the stubbed media decode — same signature,
+    schema, and batch shape as `decode_media`)."""
+    df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+    return df.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)

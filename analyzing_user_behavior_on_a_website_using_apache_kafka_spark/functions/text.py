@@ -1,0 +1,169 @@
+"""Text-analysis operators over the `documents` table.
+
+Tokenization, corpus stats, TF-IDF, quality scoring, fingerprinting —
+all with built-in functions (split/explode/groupBy/window), no Python in
+the data path. At 100 TB: tokenize+explode is a flatMap (no shuffle);
+the TF-IDF document-frequency pass is one groupBy(word) whose output is
+dictionary-sized — broadcast it back instead of re-shuffling the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per (doc_id, word); single-space tokenizer
+    (matches the fixture's generator vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + corpus word counts (token counting north-star op)."""
+    return tokenized(spark, sf_dir).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "q_text_langstats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (doc counts, char/token lengths)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      WHERE word <> '' GROUP BY word
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure DataFrame math (exact, oracle-checkable — unlike
+    HashingTF whose bucketed terms are engine-specific).
+
+    Plan shape: one shuffle for tf (doc_id, word), one dictionary-sized
+    aggregate for df broadcast back onto tf. At 100 TB the df side is
+    O(vocabulary) — always the broadcast side.
+    """
+    tok = tokenized(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+             AS avg_token_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 400
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.3
+                THEN 'keep' ELSE 'flag' END AS quality_gate
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token counts, lexical diversity, a
+    keep/flag gate — the heuristic pre-filter of an LLM data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_dis = F.size(F.array_distinct(toks)).cast("bigint")
+    ratio = F.round(n_dis.cast("double") / n_tok, 6)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        ratio.alias("distinct_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            n_tok.between(20, 400) & (n_dis.cast("double") / n_tok > 0.3),
+            "keep",
+        )
+        .otherwise("flag")
+        .alias("quality_gate"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (lower+trim → md5 hex) — the cheap
+    document identity used for exact-dup detection across shards."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )

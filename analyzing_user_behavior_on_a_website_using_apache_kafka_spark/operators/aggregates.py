@@ -1,0 +1,247 @@
+"""Aggregation operators.
+
+Reference parity: the core reference computation is a hash aggregation —
+per-topic value histograms (``Raport.py:76-88``, SURVEY §2.1 R12), the
+per-service click re-aggregation (``Raport.py:144-148``, R15), distinct
+services (``Raport.py:165``, R16), the fixed age/city/gender dimension
+enumeration (``Raport.py:176-183``, R18 — a GROUPING SETS in disguise),
+and the pie-chart share-of-total (``Raport.py:155,187``, R20).
+
+Scale notes: every groupBy here is a Spark partial+final hash aggregate —
+map-side combine collapses the data before the shuffle, so the shuffle
+volume is O(groups), not O(rows). ``approx_count_distinct`` (HLL++) is
+the 100 TB path for cardinality; exact COUNT(DISTINCT) expands to a
+two-phase shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_agg_count_by",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_count_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY key → COUNT(*) — the reference's value histogram (R12)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_agg_sum_avg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate SUM/AVG/MIN/MAX/COUNT — TPC-H Q1 shape (R15)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (R16 generalized)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality path.
+
+    One pass, fixed memory per group, mergeable sketches — this is what
+    replaces exact COUNT(DISTINCT) at scale. Estimates are
+    engine-specific, so the driver records rows-only; the companion unit
+    test asserts the estimate is within 5% of the exact count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                          ELSE 0 END), 2) AS finished_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count-if / sum-if pivoted by predicate)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    flag = F.col("o_orderstatus")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(flag == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(flag == "O", 1).otherwise(0)).alias("n_open"),
+            F.round(
+                F.sum(F.when(flag == "F", F.col("o_totalprice")).otherwise(0.0)), 2
+            ).alias("finished_value"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — the reference's per-service → overall-total hierarchy (R15)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two categorical dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT event_type, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY GROUPING SETS ((event_type), (c_mktsegment),
+                            (event_type, c_mktsegment))
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the reference's fixed {age,city,gender} dimension
+    enumeration (``Raport.py:176-183``, R18) is exactly a grouping-set:
+    one shuffle computes every per-dimension histogram instead of N
+    nested loops."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    ev.join(c, ev.user_id == c.c_custkey).createOrReplaceTempView(
+        "_gsets_input"
+    )
+    return spark.sql(
+        """
+        SELECT event_type, c_mktsegment, COUNT(*) AS cnt
+        FROM _gsets_input
+        GROUP BY GROUPING SETS ((event_type), (c_mktsegment),
+                                (event_type, c_mktsegment))
+        """
+    )
+
+
+@query(
+    "q_agg_share",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total — the pie-chart percentage (``Raport.py:155,187``, R20).
+
+    Aggregate then a window over the (tiny) aggregate — the window runs
+    over O(groups) rows, never over the raw data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = W.partitionBy()
+    return counts.select(
+        "event_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(total), 6).alias("share"),
+    )

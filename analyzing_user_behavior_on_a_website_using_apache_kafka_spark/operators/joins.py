@@ -1,0 +1,262 @@
+"""Join operators.
+
+Reference parity: the demographics enrichment is semantically
+``events ⋈ users`` evaluated eagerly at produce time (``app.py:79-88``,
+``index.html:63-67``; SURVEY §2.1 R6). Here it is a proper relational
+join with the strategy chosen for scale:
+
+- small dims (nation: 25 rows, region: 5 rows — fixed cardinality at any
+  sf, like the reference's 12-service namespace) are explicitly
+  ``broadcast()`` — zero shuffle;
+- big-big joins (lineitem ⋈ orders) shuffle on the join key and AQE
+  handles skew splitting at runtime;
+- the as-of join (no native Spark operator) is composed from an
+  equi-join on the entity key + per-probe ``max_by``-style reduction —
+  the equi component keeps it hash-joinable, so it scales as a normal
+  shuffled join instead of a range BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join: events ⋈ customer — the R6 demographic enrichment.
+
+    Planner-chosen strategy (broadcast if customer fits the threshold,
+    else sort-merge with AQE); the declarative form is identical either
+    way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return ev.join(cust, ev.user_id == cust.c_custkey, "inner").select(
+        "event_id", "event_type", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hash join on the fixed-cardinality nation dim.
+
+    ``broadcast(nation)`` guarantees zero shuffle of the fact side — at
+    100 TB the 25-row dim ships to every executor once and the join is
+    map-side.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an ON-clause filter on the right side only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000),
+        "left",
+    ).select("c_custkey", "o_orderkey")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one finished order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table chain: lineitem ⋈ orders ⋈ customer ⋈ nation + agg.
+
+    The big-big legs shuffle on their keys; nation is broadcast. Catalyst
+    + CBO/AQE handle the ordering — expressed declaratively, no manual
+    scheduling.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1996-01-01"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('p0', 0.0, 100000.0), ('p1', 100000.0, 200000.0),
+             ('p2', 200000.0, 300000.0), ('p3', 300000.0, 450000.0),
+             ('p4', 450000.0, 1000000.0)
+    )
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o.o_totalprice), 2) AS avg_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (interval) join: orders banded by price range.
+
+    The band table is tiny → Spark plans a *broadcast* nested-loop join,
+    which is the correct 100 TB strategy for small-side theta joins: the
+    fact table is never shuffled, each task scans its split once against
+    the broadcast intervals.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("p0", 0.0, 100000.0),
+            ("p1", 100000.0, 200000.0),
+            ("p2", 200000.0, 300000.0),
+            ("p3", 300000.0, 450000.0),
+            ("p4", 450000.0, 1000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id,
+           CAST(o.o_orderdate AS DATE) AS asof_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order date at-or-before each event's timestamp.
+
+    Spark has no native ASOF JOIN (SURVEY §4.2); composition: equi-join on
+    the entity key (hash-joinable → scales), keep rows with
+    ``o_orderdate <= ts``, then reduce per event with ``max(o_orderdate)``.
+    The output projects only the as-of *date*: the fixture has multiple
+    orders per (custkey, date), and DuckDB's ASOF JOIN breaks those ties
+    by scan order, so any payload column would be nondeterministic in the
+    oracle — the as-of timestamp itself is the well-defined answer. At
+    100 TB this is one shuffle on the entity key with a partial max — no
+    window state; the alternative union+last() composition is equivalent
+    but touches state twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (ev.ts >= orders.o_orderdate),
+        "inner",
+    )
+    return joined.groupBy("event_id").agg(
+        F.max(F.col("o_orderdate")).cast("date").alias("asof_orderdate")
+    )

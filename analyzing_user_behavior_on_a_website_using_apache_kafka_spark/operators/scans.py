@@ -1,0 +1,65 @@
+"""Scan / source / sink operators.
+
+Reference parity: the full-log Kafka scan + utf-8 decode projection
+(``Raport.py:41-62``, SURVEY §2.1 R8/R10) and the register-path row append
+(``app.py:121-124``, R26). Here the scan is a parquet read with column
+projection — Catalyst pushes the projection into the scan (check
+``ReadSchema`` in ``.explain``), so at 100 TB only the selected columns'
+pages are read.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + column projection (pruned to 3 of 11 columns).
+
+    Parity: SURVEY §2.1 R8 (full-log scan) + R10 (decode/cast projection,
+    ``Raport.py:62``). The projection reaches the parquet reader — only
+    3 column chunks are decoded regardless of table width.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@query("q_sink_append")  # rows-only oracle: sink round-trip is not SQL
+def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode parquet sink + read-back (register path, R26).
+
+    Writes a small projection out in append mode to a fresh temp dir and
+    reads it back; returns the read-back rows. At scale this is the same
+    ``df.write.mode("append")`` against a partitioned table location —
+    Spark's parquet commit protocol makes the append atomic per job.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "analyzing_ub_sink_append", os.path.basename(sf_dir)
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").parquet(out)  # fresh base
+    nation.write.mode("append").parquet(out)  # the appended batch
+    return (
+        spark.read.parquet(out)
+        .groupBy("n_nationkey", "n_name")
+        .count()
+        .withColumnRenamed("count", "n_copies")
+    )

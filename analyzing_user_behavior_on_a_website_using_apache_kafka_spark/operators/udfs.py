@@ -1,0 +1,146 @@
+"""UDF / UDAF / UDTF surface.
+
+The explicit slow-path hierarchy (SURVEY §2.2):
+
+1. built-in functions (everything else in this package) — JVM, codegen;
+2. ``pandas_udf`` — Arrow-batched, vectorized NumPy/pandas, ~10-100× the
+   row-at-a-time path;
+3. ``applyInPandas`` — grouped custom aggregation (full group as a pandas
+   DataFrame; requires the group to fit in executor memory — at 100 TB
+   that means aggregating/sampling per group first if groups are huge);
+4. row-at-a-time ``udf`` — demonstrated once, never used in a hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(split_part(c_name, '#', 2) AS BIGINT) % 97 AS BIGINT)
+             AS name_shard
+    FROM customer
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (deliberately the slow path, kept off hot
+    paths): parse the numeric suffix of c_name and shard it mod 97."""
+
+    @F.udf(returnType=T.LongType())
+    def name_shard(name: str) -> int | None:
+        if name is None or "#" not in name:
+            return None
+        return int(name.split("#")[-1]) % 97
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", name_shard("c_name").alias("name_shard"))
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(38,6)), 2) AS DOUBLE)
+             AS charged
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches): the TPC-H charge
+    expression computed in NumPy. Rounding happens JVM-side through
+    DECIMAL(38,6): the exact product has ≤6 decimal digits, so the
+    double→decimal cast is unambiguous and both engines then apply
+    identical HALF_UP decimal rounding (double-only ROUND diverges at the
+    .005 boundary: Spark rounds the exact binary value, DuckDB the scaled
+    float)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def charge(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            charge("l_extendedprice", "l_discount", "l_tax").cast(
+                T.DecimalType(38, 6)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("charged"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT event_type,
+           ROUND(median(value), 6) AS med_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via ``applyInPandas``: exact median and
+    p90 per event type (NumPy linear interpolation == DuckDB
+    ``quantile_cont``). Shuffles once on the group key; each group
+    materializes as one pandas DataFrame in an executor."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "med_value": [float(v.quantile(0.5))],
+                "p90_value": [float(v.quantile(0.9))],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = "event_type string, med_value double, p90_value double, cnt bigint"
+    raw = (
+        ev.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(stats, schema=schema)
+    )
+    # round JVM-side so SQL ROUND semantics apply on both engines
+    return raw.select(
+        "event_type",
+        F.round("med_value", 6).alias("med_value"),
+        F.round("p90_value", 6).alias("p90_value"),
+        "cnt",
+    )
+
+
+@query(
+    "q_udtf_explode",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    """,
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function (1 row → N rows): explode part-name words — the
+    reference's click→4-message fan-out shape (``serwer.js:84-118``, R3)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )

@@ -1,0 +1,167 @@
+"""Window-function operators.
+
+No direct reference analog (the reference has no ordered analytics), but
+they generalize its per-group reporting (SURVEY §2.2). Scale notes: a
+window partitioned by a key shuffles once on that key; ordering within
+the partition is a per-partition sort. Never use a global (unpartitioned)
+ordered window over raw data — the two global windows below run over
+pre-aggregated O(groups) inputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal,
+           CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per segment.
+
+    Ordering includes the unique c_custkey tie-break so row_number is
+    deterministic across engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS BIGINT) AS ms_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — session step analysis over each user's event sequence.
+
+    This is the clickstream operation the reference cannot express at all
+    (it never records event time, SURVEY §1.2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+        ).cast("bigint").alias("ms_since_prev"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer (ROWS unbounded-preceding frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           CAST(COUNT(*) OVER (
+             ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) AS BIGINT) AS n_similar_size
+    FROM part
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: parts within ±2 of each part's size.
+
+    Value-based (RANGE) frame, not row-based — the frame contains every
+    peer whose p_size is within the band, independent of row order. Runs
+    unpartitioned here because part is a dimension table; a fact-scale
+    variant must partition first.
+    """
+    p = load_table(spark, sf_dir, "part")
+    w = W.orderBy("p_size").rangeBetween(-2, 2)
+    return p.select(
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_similar_size"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — richest 5 customers per market segment.
+
+    row_number ≤ k with a total order (unique tie-break). At scale Spark
+    pushes a per-partition top-k (WindowGroupLimit) below the shuffle, so
+    only k rows per group per mapper move.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )

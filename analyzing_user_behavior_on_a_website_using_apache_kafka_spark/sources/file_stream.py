@@ -1,0 +1,78 @@
+"""Replayable file-based stream source (Kafka stand-in for tests/driver).
+
+Structured Streaming's file source reads the same parquet fixtures as the
+batch queries, so every streaming job can be verified against its batch
+plan on identical input (SURVEY §5.2 self-oracle strategy).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import ensure_reader_conf, normalize, table_path
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """FileStreamSource requires a *directory* to monitor, but the fixtures
+    are single parquet files — expose each through a per-(sf, table) temp
+    directory holding a symlink to the read-only fixture."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "aub_streamsrc",
+        os.path.basename(os.path.normpath(sf_dir)),
+        name,
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(table_path(sf_dir, name), link)
+        except FileExistsError:  # concurrent creator won the race
+            pass
+    return d
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over one fixture parquet (schema pinned from a batch
+    peek — file sources require an explicit schema). The same catalog
+    normalization (ns→us timestamp) applies on top of the raw stream."""
+    ensure_reader_conf(spark, name)
+    schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    return normalize(
+        name, spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, name))
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
+    into an in-memory sink; return the sink contents as a batch DataFrame.
+
+    AvailableNow = process everything present, then stop — the batch-like
+    trigger that still exercises the incremental/stateful machinery. The
+    production analog swaps the memory sink for kafka/parquet/foreachBatch
+    and AvailableNow for a processing-time trigger.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)

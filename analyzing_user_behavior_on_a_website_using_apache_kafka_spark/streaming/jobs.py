@@ -1,0 +1,176 @@
+"""Declared streaming queries (SURVEY §2.2 "Streaming-only").
+
+Each runs a Structured Streaming plan over the replayable file source to
+completion (AvailableNow) and returns the sink contents, so the driver
+can compare against a DuckDB batch oracle where one exists. The
+incremental machinery (state store, watermarks, output modes) is fully
+exercised — only the trigger is batch-like.
+
+Scale notes: state-store keys here are (window, group) pairs — bounded by
+watermarks everywhere except complete mode, which is only valid because
+the reference's report aggregate is O(services × dimension values), tiny
+at any scale (SURVEY §0.2). Production: RocksDB state store + TTL'd
+state for dedup/session jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.file_stream import run_to_memory, stream_table
+
+
+@query(
+    "q_stream_kafka_source",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events
+    """,
+)
+def q_stream_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream scan from earliest (R7–R9): file-source stand-in for the
+    Kafka reader (no broker in the test env — `sources.kafka` holds the
+    real wiring with identical downstream projections). Every record in
+    the log appears exactly once in the sink — the batch oracle is plain
+    SELECT."""
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return run_to_memory(ev, "append")
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window count (clicks/hour/type — R24 generalized).
+
+    Complete output mode: every hour bucket is emitted at stream end, so
+    the result equals the batch date_trunc aggregation exactly.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "cnt"
+    )
+
+
+@query("q_stream_sliding")  # self-oracle: verified vs batch plan in tests
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2 h window, 1 h slide): each event lands in two
+    overlapping windows; complete mode emits all of them."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "cnt"
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 1800000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — stateful sessionization.
+
+    `session_window` merges events whose windows overlap (gap < 30 min);
+    the oracle reproduces the same semantics relationally via
+    lag + boundary-flag + running sum (new session when gap >= 30 min).
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+    )
+
+
+@query("q_stream_watermark_late")  # self-oracle: emission depends on
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append mode: only hour-windows whose end precedes the
+    final watermark (max event time − 10 min) are emitted; later windows
+    stay open in state. The reference needs no watermark because it
+    recomputes everything (SURVEY §2.2) — this is the incremental
+    replacement. Emission set depends on micro-batch boundaries →
+    rows-only driver check; the unit test pins the single-batch case."""
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(F.col("w.start").alias("window_start"), "cnt")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id (north-star: exactly-once
+    event feeds). Watermarked so state is droppable at scale; emits on
+    first sight → append mode output equals batch DISTINCT."""
+    ev = stream_table(spark, sf_dir, "events")
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query(
+    "q_stream_complete_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference report as a stream: complete-mode running histogram
+    (R8+R12+R24). The reference recomputes this from offset 0 every 60 s
+    (``Raport.py:41-88,217-227``); here the state store carries the
+    running counts and each trigger touches only new data — same output,
+    O(new) instead of O(everything) per cycle."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return run_to_memory(agg, "complete")

@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the operator families that dominate a 100 TB run: wide
+agg, multiway join, window, top-k, as-of, text tokenize, tfidf, dedup,
+similarity. Each query executes to completion (count() materializes the
+full plan; nothing collects to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+    registry,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+    get_spark,
+)
+
+HEADLINE = [
+    "q_agg_sum_avg",
+    "q_agg_count_by",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_win_running",
+    "q_topk_per_group",
+    "q_agg_grouping_sets",
+    "q_text_tokens",
+    "q_text_tfidf",
+    "q_dedup_exact",
+    "q_sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    qs = registry.all_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings measure the plans
+    qs["q_agg_count_by"](spark, sf_dir).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""North-star operator quality gates beyond row-parity: ANN recall vs
+brute force, approx-distinct error bound, near-dup banding sanity,
+multimodal plumbing determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+    registry,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+    load_table,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.multimodal import (
+    fake_decode_features,
+    with_binary_payload,
+)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    qs = registry.all_queries()
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in qs["q_sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.probe_id, r.cand_id)
+        for r in qs["q_sim_ann"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
+
+
+def test_approx_distinct_error(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("e"))
+        .collect()
+    )
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in registry.all_queries()["q_agg_approx_distinct"](
+            spark, sf_dir
+        ).collect()
+    }
+    for row in exact:
+        rel_err = abs(approx[row.o_orderpriority] - row.e) / row.e
+        assert rel_err < 0.05, f"HLL rel error {rel_err:.3f} too high"
+
+
+def test_near_dup_self_consistency(spark, sf_dir):
+    # every near-dup candidate pair must estimate jaccard in [0, 1] and
+    # be ordered doc_a < doc_b with no duplicates
+    df = registry.all_queries()["q_dedup_near"](spark, sf_dir)
+    rows = df.collect()
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
+
+
+def test_multimodal_plumbing_deterministic(spark, sf_dir):
+    df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+    out1 = {
+        r.doc_id: (r.n_bytes, r.checksum)
+        for r in df.mapInPandas(
+            fake_decode_features,
+            schema="doc_id bigint, n_bytes bigint, checksum bigint, feature_dim int",
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.encode("text", "utf-8")).alias("n")
+    )
+    for r in docs.collect():
+        assert out1[r.doc_id][0] == r.n
+
+
+def test_decode_media_is_stubbed(spark, sf_dir):
+    import pytest
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.multimodal import (
+        decode_media,
+    )
+
+    with pytest.raises(NotImplementedError):
+        next(decode_media(iter([])))
