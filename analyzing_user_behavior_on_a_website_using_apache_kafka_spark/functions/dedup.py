@@ -5,7 +5,9 @@ The LLM-data-pipeline dedup ladder, each a separate declared query:
 - exact:   hash-groupBy on the full text (one shuffle on the text hash);
 - minhash: MinHash+LSH over word shingles — O(n) per doc, candidate
   pairs only where a band bucket collides (bucket-join, no crossJoin);
-- ngram Jaccard: exact verification on blocked candidate pairs.
+- ngram Jaccard: exact verification on blocked candidate pairs;
+- simhash: 48-bit sign-sum fingerprint, banded for hamming-≤k pairs;
+- embedding cosine: nearest-neighbor flagging on the vector space.
 
 At 100 TB exact dedup groups on a 128-bit fingerprint instead of the
 raw text (shuffle carries 16 bytes/doc, not the document), and LSH bands
@@ -15,6 +17,7 @@ are the only crossing structure — the corpus is never self-joined.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -200,5 +203,168 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+_SIMHASH_BITS = 48  # fits a BIGINT with headroom (no sign-bit trouble)
+_SIMHASH_BANDS = 4  # 4 × 12-bit bands block the pair search
+_HAMMING_MAX = 3
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 48-bit SimHash over distinct word tokens (map-only).
+
+    Classic sign-sum construction (Charikar 2002): bit i of the
+    fingerprint is set iff more token hashes have bit i set than not.
+    Pure higher-order JVM expressions over the token array — zero
+    shuffle, zero Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    n = F.size(hashes)
+    fp = F.lit(0).cast("bigint")
+    for i in range(_SIMHASH_BITS):
+        # mask-test bit i: bitwiseAND stays in Column algebra (shiftright
+        # cannot be invoked on a higher-order lambda variable)
+        mask = F.lit(1 << i).cast("bigint")
+        ones = F.size(
+            F.filter(hashes, lambda h, m=mask: h.bitwiseAND(m) != 0)
+        )
+        # bit set when ones > n/2 (sign of sum(+1/-1) positive)
+        fp = fp + F.when(ones * 2 > n, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return d.select("doc_id", fp.alias("simhash"))
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ 3, banded search.
+
+    Fingerprints band into 4 × 12-bit keys; a pair is a candidate iff it
+    collides in ≥1 band (pigeonhole: hamming ≤ 3 over 4 bands forces one
+    identical band — the blocking is *lossless* for the ≤3 threshold).
+    Exact hamming via bit_count(xor) verifies candidates. Returns every
+    doc's fingerprint row-tagged with its duplicate partner count so the
+    result is non-empty even on a dup-free corpus.
+    """
+    sigs = simhash_fingerprints(spark, sf_dir)
+    band_width = _SIMHASH_BITS // _SIMHASH_BANDS
+    bands = []
+    for j in range(_SIMHASH_BANDS):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                "simhash",
+                F.lit(j).alias("band_id"),
+                F.shiftright("simhash", j * band_width)
+                .bitwiseAND((1 << band_width) - 1)
+                .alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # left-join partner counts back so the query always returns the corpus
+    partners = pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).unionByName(
+        pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    ).groupBy("doc_id").agg(F.sum("n").alias("n_near_dups"))
+    return (
+        sigs.join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "simhash",
+            F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias(
+                "n_near_dups"
+            ),
+        )
+    )
+
+
+@query(
+    "q_dedup_embed_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS doc_id, b.vec_id AS nn_id,
+             list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) *
+                sqrt(list_dot_product(b.emb, b.emb))) AS sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT doc_id, nn_id, ROUND(sim, 6) AS nn_cosine,
+           CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END AS is_near_dup
+    FROM (
+      SELECT doc_id, nn_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY sim DESC, nn_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: each vector's nearest neighbor + flag.
+
+    Exact all-pairs at fixture scale (the corpus side stays partitioned;
+    only the comparison set broadcasts). At 100 TB the pair generation
+    swaps to the LSH buckets of `q_sim_ann` — same scoring/flagging
+    tail, candidates from bucket joins instead of the full cross
+    product. Near-dup flag at cosine ≥ 0.9.
+    """
+    from .similarity import cosine
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probe = v.select(
+        F.col("vec_id").alias("nn_id"), F.col("emb").alias("nn_emb")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "nn_id",
+            cosine(F.col("emb"), F.col("nn_emb")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "nn_id",
+            F.round("sim", 6).alias("nn_cosine"),
+            F.when(F.col("sim") >= 0.9, 1).otherwise(0).alias("is_near_dup"),
         )
     )

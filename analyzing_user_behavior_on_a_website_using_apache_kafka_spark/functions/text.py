@@ -167,3 +167,80 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
     )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q_text_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}')))
+                AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex ("BPE-ish") token counting: letter runs / digit runs /
+    single punctuation — the pre-tokenization split of GPT-style BPE
+    vocabularies, approximating LLM token cost per document. Map-only:
+    `regexp_extract_all` runs codegen'd in the JVM; no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+_SHINGLE_W = 5  # rolling window width (tokens)
+
+
+@query(
+    "q_text_rollhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) - {_SHINGLE_W} + 1 AS BIGINT) AS n_shingles,
+           list_aggregate(
+             list_transform(
+               generate_series(1, len(words) - {_SHINGLE_W} + 1),
+               i -> md5(array_to_string(list_slice(words, i, i + {_SHINGLE_W} - 1), ' '))
+             ), 'min') AS min_shingle_fp
+    FROM t
+    WHERE len(words) >= {_SHINGLE_W}
+    """,
+)
+def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window shingle fingerprint (winnowing, bottom-1 sketch).
+
+    Every {_SHINGLE_W}-token window hashes to md5; the minimum hash is
+    the document fingerprint — two documents sharing any long run of
+    text agree on it w.h.p. (the basis of fuzzy containment detection).
+    Map-only over the token array: `sequence` generates window starts,
+    higher-order `transform` + `slice` build the windows JVM-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_shingles = F.size(words) - F.lit(_SHINGLE_W) + 1
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(words, i, _SHINGLE_W))
+        ),
+    )
+    return (
+        d.filter(F.size(words) >= _SHINGLE_W)
+        .select(
+            "doc_id",
+            n_shingles.cast("bigint").alias("n_shingles"),
+            F.array_min(shingles).alias("min_shingle_fp"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Physical-plan predicates over `.explain("formatted")` output."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (what `.explain("formatted")` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter expressions pushed into the (parquet) scan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each scan (column-pruning check)."""
+    plan = formatted_plan(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [
+            f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()
+        ]
+        schemas.append(cols)
+    return schemas
+
+
+def broadcast_hash_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin", formatted_plan(df)))
+
+
+def uses_operator(df: DataFrame, op: str) -> bool:
+    """Does the physical plan contain the named operator (e.g.
+    'SortMergeJoin', 'BroadcastNestedLoopJoin', 'HashAggregate')?"""
+    return op in formatted_plan(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen regions — wider/fewer is better.
+
+    The `codegen` explain mode compiles the plan upfront and reports
+    "Found N WholeStageCodegen subtrees". NOTE: under AQE the whole plan
+    hides behind AdaptiveSparkPlan until execution and this reports 0 —
+    build the DataFrame with ``spark.sql.adaptive.enabled=false`` (a
+    runtime conf, scoped per query construction) for this check.
+    """
+    cg = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    return int(m.group(1)) if m else 0

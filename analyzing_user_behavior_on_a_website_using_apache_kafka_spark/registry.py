@@ -74,7 +74,13 @@ def _ensure_loaded() -> None:
         udfs,
         windows,
     )
-    from .functions import dedup, multimodal, similarity, text  # noqa: F401
+    from .functions import (  # noqa: F401
+        dedup,
+        langid,
+        multimodal,
+        similarity,
+        text,
+    )
     from .streaming import jobs  # noqa: F401
 
     _LOADED = True

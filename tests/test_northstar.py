@@ -77,6 +77,43 @@ def test_multimodal_plumbing_deterministic(spark, sf_dir):
         assert out1[r.doc_id][0] == r.n
 
 
+def test_langid_one_prediction_per_doc(spark, sf_dir):
+    df = registry.all_queries()["q_text_langid"](spark, sf_dir)
+    rows = df.collect()
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs))  # argmax emits exactly one row/doc
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(docs) == n_docs
+    langs = {
+        r.lang for r in load_table(spark, sf_dir, "documents")
+        .select("lang").distinct().collect()
+    }
+    assert all(r.pred_lang in langs for r in rows)
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}
+    assert all(0 <= v < (1 << _SIMHASH_BITS) for v in sigs.values())
+    # identical text ⇒ identical fingerprint (determinism)
+    sigs2 = {
+        r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()
+    }
+    assert sigs == sigs2
+    out = registry.all_queries()["q_dedup_simhash"](spark, sf_dir)
+    assert out.count() == len(sigs)  # one row per doc, always non-empty
+
+
+def test_embed_cosine_nn_is_symmetric_top1(spark, sf_dir):
+    rows = registry.all_queries()["q_dedup_embed_cosine"](spark, sf_dir).collect()
+    assert all(-1.0 <= r.nn_cosine <= 1.0 for r in rows)
+    assert all(r.doc_id != r.nn_id for r in rows)
+
+
 def test_decode_media_is_stubbed(spark, sf_dir):
     import pytest
 

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale
+must be visible in the plan (SURVEY §4.2), not assumed.
+
+A failure here means a query silently de-optimized — e.g. a cast started
+blocking parquet pushdown, or a broadcast hint stopped applying — which
+is invisible to the value-correctness oracle but catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+    plans,
+    registry,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+    load_table,
+)
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    df = registry.all_queries()["q_scan_project"](spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "no scan in plan?"
+    # lineitem is 16+ columns wide; the scan must read exactly 3
+    assert sorted(schemas[0]) == [
+        "l_extendedprice",
+        "l_linenumber",
+        "l_orderkey",
+    ]
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_broadcast_join_strategy(spark, sf_dir):
+    df = registry.all_queries()["q_join_broadcast"](spark, sf_dir)
+    assert plans.broadcast_hash_join_count(df) >= 1
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    # small-side theta join must broadcast, never shuffle the fact side
+    df = registry.all_queries()["q_join_theta_range"](spark, sf_dir)
+    assert plans.uses_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_aggregate_is_hash_not_sort(spark, sf_dir):
+    df = registry.all_queries()["q_agg_sum_avg"](spark, sf_dir)
+    assert plans.uses_operator(df, "HashAggregate")
+
+
+def test_codegen_covers_plan(spark, sf_dir):
+    # AQE hides codegen regions until runtime; scope it off for the check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.all_queries()["q_agg_sum_avg"](spark, sf_dir)
+        assert plans.wholestage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

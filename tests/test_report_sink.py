@@ -1,0 +1,109 @@
+"""Report-sink parity: the reference's raport.pdf content (overall pie +
+per-service dimension pies, Raport.py:101-213) assembled from the
+streaming aggregate, with golden values on the hand-computed fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources import (
+    jdbc,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming import (
+    clickstream,
+    report,
+)
+from test_clickstream_parity import CLICKS, USERS
+
+
+@pytest.fixture(scope="module")
+def histograms(spark):
+    users = spark.createDataFrame(
+        USERS, "user_id long, name string, email string, age int, "
+        "city string, gender string"
+    )
+    clicks = spark.createDataFrame(CLICKS, "user_id long, service string")
+    return clickstream.topic_histograms(
+        clickstream.fan_out_messages(clicks, users)
+    )
+
+
+def test_report_model_overall_section(histograms):
+    model = report.report_model(histograms)
+    overall = {e["service"]: e for e in model["overall"]}
+    # Raport.py:144-148: gitlab 3 clicks, kafka 2 (home dropped at ingest)
+    assert overall["gitlab"]["clicks"] == 3
+    assert overall["kafka"]["clicks"] == 2
+    assert overall["gitlab"]["label"] == "gitlab (3)"  # :152 f-string
+    assert abs(overall["gitlab"]["share"] - 3 / 5) < 1e-9  # :155 autopct
+    assert "home" not in overall
+
+
+def test_report_model_service_sections(histograms):
+    model = report.report_model(histograms)
+    services = {s["service"]: s["histograms"] for s in model["services"]}
+    # gitlab ages 30,30,25 → histogram with share (Raport.py:176-193)
+    age = dict((v, (c, s)) for v, c, s in services["gitlab"]["age"])
+    assert age["30"][0] == 2 and abs(age["30"][1] - 2 / 3) < 1e-6
+    assert set(services["gitlab"]) == {"age", "city", "gender"}
+
+
+def test_report_stream_incremental(spark, histograms, sf_dir, tmp_path):
+    """The 60 s loop as foreachBatch: AvailableNow over a file stream of
+    the messages must produce the identical model as batch."""
+    import os
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.clickstream import (
+        fan_out_messages,
+    )
+
+    users = spark.createDataFrame(
+        USERS, "user_id long, name string, email string, age int, "
+        "city string, gender string"
+    )
+    clicks = spark.createDataFrame(CLICKS, "user_id long, service string")
+    msg_dir = os.path.join(str(tmp_path), "messages")
+    fan_out_messages(clicks, users).write.parquet(msg_dir)
+
+    stream = spark.readStream.schema("topic string, value string").parquet(
+        msg_dir
+    )
+    captured: list = []
+    q = report.run_report_stream(
+        stream, lambda model, epoch: captured.append(model), available_now=True
+    )
+    q.awaitTermination(120)
+    assert captured, "sink never invoked"
+    batch_model = report.report_model(histograms)
+    assert captured[-1] == batch_model
+
+
+def test_render_pdf_is_stubbed(histograms):
+    model = report.report_model(histograms)
+    with pytest.raises(NotImplementedError):
+        report.render_pdf(model, "/tmp/raport.pdf")
+
+
+def test_login_lookup_and_register(spark, tmp_path):
+    users = spark.createDataFrame(
+        [("Ala", "ala@x.pl", 30, "Gdansk", "Kobieta", "pw1")],
+        jdbc.USERS_SCHEMA,
+    )
+    hit = jdbc.login_lookup(users, "ala@x.pl", "pw1").collect()
+    assert len(hit) == 1 and hit[0].city == "Gdansk"
+    miss = jdbc.login_lookup(users, "ala@x.pl", "wrong").collect()
+    assert miss == []
+
+    sink = str(tmp_path / "users_sink")
+    jdbc.register_append(sink, users)
+    jdbc.register_append(sink, users)
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_jdbc_reader_builder(spark):
+    # construction-only (no DB in env): partitioned read requires bounds
+    jdbc.jdbc_reader(spark, "jdbc:mysql://h/db", "users")
+    with pytest.raises(ValueError):
+        jdbc.jdbc_reader(
+            spark, "jdbc:mysql://h/db", "users", partition_column="id"
+        )
