@@ -1,0 +1,170 @@
+"""Extended relational surface: pivot/unpivot, distribution windows,
+collect aggregates, correlated subqueries, cross join.
+
+The unpivot is the closest relative of the reference's click fan-out
+(one `(age, city, gender)` tuple → 4 `(topic, value)` messages,
+``serwer.js:84-118``, SURVEY §2.1 R3) — `stack()` is its engine form.
+Pivot is the inverse report shape (dimension values as columns).
+
+Scale notes: pivot with an explicit value list is one partial+final
+aggregate (no extra pass to discover columns — always pass the list at
+100 TB); unpivot is a map-only row expansion; collect_list/set
+materialize whole groups — bounded here by the fixed event-type domain,
+and at scale only ever used behind an explicit cap (slice/filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..registry import query
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               "CAST(SUM(CASE WHEN event_type = '%s' THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS n_%s" % (t, t) for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event types become columns (per-user behavior vector).
+
+    The explicit value list keeps it a single partial+final aggregate —
+    without it Spark runs an extra distinct pass to discover columns.
+    The oracle spells the same thing as conditional aggregation (the
+    relational definition of pivot).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, ROUND(c_acctbal, 2) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE)
+    FROM customer
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via `stack()` — the reference's click fan-out shape (R3):
+    one row becomes one row per (metric, value) pair, map-only."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', ROUND(c_acctbal, 2), "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    (the quantile-bucketing used for data-quality binning). Unique
+    o_orderkey tie-break keeps every rank deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types_seen,
+           CAST(len(list_distinct(list(event_type))) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set into a sorted array (the per-entity label set).
+
+    Sorting makes the array deterministic — raw collect order is
+    partition-dependent and never oracle-comparable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+_SQL_CORRELATED = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+FROM orders o
+WHERE o_totalprice > 2 * (
+    SELECT AVG(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("q_subquery_scalar", oracle=_SQL_CORRELATED)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders > 2× their customer's average.
+
+    Catalyst decorrelates this into an aggregate + join (SURVEY §4.2) —
+    written as SQL to exercise the subquery front-end; the same string
+    is the oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CORRELATED)
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (5 × 25 dims — the only legitimate cross join
+    shape: both sides tiny and broadcastable)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")

@@ -66,11 +66,13 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        extended,
         filters,
         joins,
         scans,
         scalar_funcs,
         sorts_setops,
+        sql_surface,
         udfs,
         windows,
     )

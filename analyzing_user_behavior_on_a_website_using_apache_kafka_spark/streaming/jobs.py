@@ -85,7 +85,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, ts,
-             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 1800000
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -106,9 +106,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap) per user — stateful sessionization.
 
-    `session_window` merges events whose windows overlap (gap < 30 min);
-    the oracle reproduces the same semantics relationally via
-    lag + boundary-flag + running sum (new session when gap >= 30 min).
+    `session_window` semantics (verified by property test against a
+    Python gap-scan): an event exactly `gap` after its predecessor still
+    MERGES — a new session starts only when the gap is strictly greater.
+    The oracle reproduces this relationally via lag + boundary-flag +
+    running sum (new session when gap > 30 min).
     """
     ev = stream_table(spark, sf_dir, "events")
     agg = ev.groupBy(
