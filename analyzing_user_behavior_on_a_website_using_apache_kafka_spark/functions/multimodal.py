@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ..serialization import pickle_module_by_value
+
+# fake_decode_features ships to executor workers via mapInPandas —
+# by-value pickling keeps it importable-path-independent
+pickle_module_by_value(__name__)
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum bigint, feature_dim int"

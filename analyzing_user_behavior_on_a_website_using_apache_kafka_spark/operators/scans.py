@@ -42,6 +42,56 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_source_json",
+    oracle="""
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source round-trip: events → JSON lines → schema'd read-back.
+
+    Multi-format source surface (parquet is the columnar default; JSON/
+    CSV are the interchange paths). The read uses an EXPLICIT schema —
+    at 100 TB schema inference is a full extra pass over the data and is
+    never acceptable; with a schema the reader is a single streaming-
+    decode pass.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "aub_source_json", os.path.basename(sf_dir)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "event_id bigint, event_type string, value double"
+    ).json(out)
+
+
+@query(
+    "q_source_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with explicit schema + header."""
+    out = os.path.join(
+        tempfile.gettempdir(), "aub_source_csv", os.path.basename(sf_dir)
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.write.mode("overwrite").option("header", "true").csv(out)
+    return (
+        spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .option("header", "true")
+        .csv(out)
+    )
+
+
 @query("q_sink_append")  # rows-only oracle: sink round-trip is not SQL
 def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode parquet sink + read-back (register path, R26).

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         joins,
         scans,
         scalar_funcs,
+        skew,
         sorts_setops,
         sql_surface,
         udfs,
@@ -83,6 +84,6 @@ def _ensure_loaded() -> None:
         similarity,
         text,
     )
-    from .streaming import jobs  # noqa: F401
+    from .streaming import jobs, stateful  # noqa: F401
 
     _LOADED = True

@@ -54,6 +54,40 @@ def test_aggregate_is_hash_not_sort(spark, sf_dir):
     assert plans.uses_operator(df, "HashAggregate")
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Bucketing both join sides on the key removes the join shuffle —
+    THE layout strategy for the perennial big-big join at 100 TB
+    (SCALE.md §Joins). Asserted: a sort-merge join of two tables
+    bucketed on the key plans no hashpartitioning Exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("li_bucketed")
+    od.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("od_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("od_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plans.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
 def test_codegen_covers_plan(spark, sf_dir):
     # AQE hides codegen regions until runtime; scope it off for the check
     spark.conf.set("spark.sql.adaptive.enabled", "false")
