@@ -1,0 +1,92 @@
+"""Multi-micro-batch incrementality: the property that makes streaming
+worth having over the reference's full-log rescan (SURVEY §0.2) is that
+state ACCUMULATES across triggers. One AvailableNow pass over a single
+file can't show that — here the log arrives as multiple files consumed
+one per micro-batch (maxFilesPerTrigger=1), and the final state must
+still equal the all-at-once batch answer."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def split_log(spark, sf_dir, tmp_path_factory):
+    """events split into 4 files (by user_id range) in one directory."""
+    d = str(tmp_path_factory.mktemp("split_log"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    for i in range(4):
+        ev.filter(F.pmod("user_id", F.lit(4)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d
+
+
+def _run_incremental(spark, split_log, agg_builder, output_mode):
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .parquet(split_log)
+    )
+    name = f"inc_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg_builder(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation", os.path.join("/tmp/aub_ckpt", name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 4, "expected one micro-batch per file"
+    return spark.table(name)
+
+
+def test_complete_agg_accumulates_across_batches(spark, sf_dir, split_log):
+    out = _run_incremental(
+        spark,
+        split_log,
+        lambda s: s.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        "complete",
+    )
+    got = {(r.event_type, r.cnt) for r in out.collect()}
+    want = {
+        (r.event_type, r.cnt)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_across_batches(spark, sf_dir, split_log):
+    out = _run_incremental(
+        spark,
+        split_log,
+        lambda s: s.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id"),
+        "append",
+    )
+    n_stream = out.count()
+    n_batch = (
+        load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert n_stream == n_batch
