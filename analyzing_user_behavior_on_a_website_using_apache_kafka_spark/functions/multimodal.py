@@ -119,3 +119,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, and batch shape as `decode_media`)."""
     df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
     return df.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
+
+
+_FRAME_BYTES = 64  # fake frame = 64-byte slice of the payload
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_bytes bigint, frame_crc bigint"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N frame sampling with the production mapInPandas shape.
+
+    A video decoder would emit one row per sampled frame; the fake
+    treats each _FRAME_BYTES slice of the payload as a "frame" and keeps
+    every _FRAME_STRIDE-th one. The row-expansion plumbing (one input
+    row → variable output rows inside an Arrow batch) is exactly what a
+    real av/ffmpeg-backed sampler needs.
+    """
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "frame_no": [],
+            "frame_bytes": [],
+            "frame_crc": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // _FRAME_BYTES)
+            for frame_no in range(0, n_frames, _FRAME_STRIDE):
+                chunk = payload[
+                    frame_no * _FRAME_BYTES : (frame_no + 1) * _FRAME_BYTES
+                ]
+                out["doc_id"].append(doc_id)
+                out["frame_no"].append(frame_no)
+                out["frame_bytes"].append(len(chunk))
+                out["frame_crc"].append(sum(chunk) % 1_000_003)
+        yield pd.DataFrame(out)
+
+
+@query("q_multimodal_framesample")  # rows-only: fake frames
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: every row expands to its sampled frames
+    (1→N inside mapInPandas) and a relational tail aggregates per doc —
+    the decode→sample→aggregate shape of a video-corpus pipeline."""
+    df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+    frames = df.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum("frame_bytes").alias("sampled_bytes"),
+        F.max("frame_no").alias("last_frame_no"),
+    )

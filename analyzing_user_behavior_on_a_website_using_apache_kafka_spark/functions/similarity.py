@@ -74,8 +74,12 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The probe side is broadcast (crossJoin with a tiny broadcast side →
     BroadcastNestedLoopJoin): the corpus is scanned once per task with
-    zero shuffle; top-k reduces via per-probe row_number over the scored
-    stream. Deterministic tie-break on cand_id.
+    zero join shuffle. Top-k is TWO-PHASE: phase 1 windows over
+    (probe, physical-partition-id) — same shuffle volume as a plain
+    per-probe window but spread over corpus-partitions × probes
+    reducers instead of ONE reducer per probe, which is the skew wall
+    at 100 TB; phase 2 re-windows only the O(partitions × k) survivors
+    per probe. Deterministic tie-break on cand_id.
     """
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -92,9 +96,19 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("probe_emb"), F.col("emb")).alias("sim"),
         )
     )
+    # phase 1: partial top-k inside each physical partition (map-side)
+    w_part = W.partitionBy("probe_id", "pid").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("prnk", F.row_number().over(w_part))
+        .filter(F.col("prnk") <= TOP_K)
+    )
+    # phase 2: global top-k over the tiny survivor set
     w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "probe_id",
@@ -146,6 +160,87 @@ def simhash_bucket(emb: Column, dim: int, table: int) -> Column:
         proj = _dot(emb, coeffs)
         bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
     return bucket
+
+
+# --- ANN: IVF (inverted-file) variant ---------------------------------------
+
+_IVF_K = 16  # coarse centroids
+_IVF_NPROBE = 4  # clusters searched per probe
+
+
+@query("q_sim_ivf")  # rows-only: ANN candidate membership is approximate
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: k-means coarse quantizer + cluster probe.
+
+    Build: seeded MLlib k-means partitions the corpus into _IVF_K
+    cells (one pass assign). Search: each probe scores only the
+    _IVF_NPROBE nearest cells' members — candidate volume ≈
+    nprobe/k of the corpus. The centroid table is O(k × dim) →
+    broadcast; the candidate join is an equi join on cluster id. At
+    100 TB the assignment is written as a partition column so a probe
+    reads only its cells' files (partition pruning does the routing).
+    Recall vs brute force is asserted in tests alongside the LSH
+    variant.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    feat = v.select("vec_id", "emb", array_to_vector("emb").alias("features"))
+    model = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    # route each probe to its nprobe nearest cells (tiny cross: probes × k)
+    w_cell = W.partitionBy("probe_id").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(
+                    "probe_emb", "centroid", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("crnk", F.row_number().over(w_cell))
+        .filter(F.col("crnk") <= _IVF_NPROBE)
+        .select("probe_id", "probe_emb", "cell")
+    )
+    cands = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "probe_emb", F.col("vec_id").alias("cand_id"), "emb")
+    )
+    scored = cands.select(
+        "probe_id",
+        "cand_id",
+        cosine(F.col("probe_emb"), F.col("emb")).alias("sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("sim", 6).alias("cosine_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
 
 
 @query("q_sim_ann")  # rows-only: ANN candidate membership is approximate

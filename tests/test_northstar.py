@@ -32,6 +32,22 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    qs = registry.all_queries()
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in qs["q_sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.probe_id, r.cand_id)
+        for r in qs["q_sim_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-random vectors barely cluster; nprobe/k = 1/4 of the corpus
+    # searched should still recover a solid fraction of true neighbors
+    assert recall >= 0.3, f"IVF recall {recall:.2f} below floor"
+
+
 def test_approx_distinct_error(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     exact = (
@@ -112,6 +128,27 @@ def test_embed_cosine_nn_is_symmetric_top1(spark, sf_dir):
     rows = registry.all_queries()["q_dedup_embed_cosine"](spark, sf_dir).collect()
     assert all(-1.0 <= r.nn_cosine <= 1.0 for r in rows)
     assert all(r.doc_id != r.nn_id for r in rows)
+
+
+def test_framesample_counts_match_payload_math(spark, sf_dir):
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.multimodal import (
+        _FRAME_BYTES,
+        _FRAME_STRIDE,
+    )
+
+    got = {
+        r.doc_id: r.n_sampled_frames
+        for r in registry.all_queries()["q_multimodal_framesample"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.encode("text", "utf-8")).alias("n")
+    )
+    for r in docs.collect():
+        n_frames = max(1, r.n // _FRAME_BYTES)
+        expected = len(range(0, n_frames, _FRAME_STRIDE))
+        assert got[r.doc_id] == expected, r.doc_id
 
 
 def test_decode_media_is_stubbed(spark, sf_dir):
