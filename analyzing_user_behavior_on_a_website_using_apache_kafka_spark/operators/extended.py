@@ -156,6 +156,152 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): lag → boundary flag →
+    running sum → per-session aggregate. The batch twin of
+    `q_stream_session`, using the verified strict-gap semantics
+    (> 30 min starts a session). One shuffle on user_id serves both
+    windows and the final aggregate — the partitioning is reused.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    gap_ms = (
+        F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            gap_ms > 30 * 60 * 1000, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("new_session").over(run)
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_no").cast("bigint").alias("session_no")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles with the BUILT-IN `percentile` aggregate (JVM,
+    linear interpolation == DuckDB quantile_cont) — the codegen'd
+    sibling of the applyInPandas version in `q_udaf_grouped`. At 100 TB
+    exact percentiles sort within groups; prefer `approx_percentile`
+    (t-digest-style sketch, mergeable) when error tolerance allows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_val,
+           ROUND(MAX(o_totalprice), 2) AS max_val,
+           ROUND(AVG(o_totalprice), 4) AS avg_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 2),
+           ROUND(MAX(o_custkey), 2),
+           ROUND(AVG(o_custkey), 4)
+    FROM orders
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass a training pipeline runs
+    before ingest): row/non-null/distinct counts + min/max/avg per
+    column, all in ONE scan — every per-column stat is an aggregate
+    expression in the same HashAggregate, then unpivoted to rows."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(col: str):
+        return [
+            F.count(F.lit(1)).alias(f"{col}__n_rows"),
+            F.count(col).alias(f"{col}__n_nonnull"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+            F.round(F.min(col).cast("double"), 2).alias(f"{col}__min_val"),
+            F.round(F.max(col).cast("double"), 2).alias(f"{col}__max_val"),
+            F.round(F.avg(col), 4).alias(f"{col}__avg_val"),
+        ]
+
+    wide = o.agg(*stats("o_totalprice"), *stats("o_custkey"))
+    parts = []
+    for col in ("o_totalprice", "o_custkey"):
+        parts.append(
+            wide.select(
+                F.lit(col).alias("col"),
+                F.col(f"{col}__n_rows").alias("n_rows"),
+                F.col(f"{col}__n_nonnull").alias("n_nonnull"),
+                F.col(f"{col}__n_distinct").alias("n_distinct"),
+                F.col(f"{col}__min_val").alias("min_val"),
+                F.col(f"{col}__max_val").alias("max_val"),
+                F.col(f"{col}__avg_val").alias("avg_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "q_join_cross",
     oracle="""
     SELECT r.r_name, n.n_name

@@ -76,6 +76,67 @@ def test_complete_agg_accumulates_across_batches(spark, sf_dir, split_log):
     assert got == want
 
 
+def test_restart_from_checkpoint_resumes_not_rescans(
+    spark, sf_dir, tmp_path
+):
+    """Stop-and-restart: a second query on the SAME checkpoint must
+    resume from the committed offsets — state carries over and only new
+    files are read. This is the engine's answer to the reference's
+    restart story (a restart there re-reads the entire Kafka log,
+    Raport.py:41-43; here it replays nothing)."""
+    src = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    # write half the log, run to completion, then append the rest
+    ev.filter(F.pmod("event_id", F.lit(2)) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = "event_id bigint, event_type string"
+
+    def run_once(name):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.event_type, r.cnt) for r in spark.table(name).collect()
+        }, q.recentProgress
+
+    got1, _ = run_once("ckpt_run1")
+    half = {
+        (r.event_type, r.cnt)
+        for r in ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got1 == half
+
+    ev.filter(F.pmod("event_id", F.lit(2)) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got2, progress = run_once("ckpt_run2")
+    full = {
+        (r.event_type, r.cnt)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got2 == full
+    # the restart processed only the NEW rows (state supplied the rest)
+    rows_read = sum(p["numInputRows"] for p in progress)
+    n_new = ev.filter(F.pmod("event_id", F.lit(2)) == 1).count()
+    assert rows_read == n_new, (rows_read, n_new)
+
+
 def test_streaming_dedup_across_batches(spark, sf_dir, split_log):
     out = _run_incremental(
         spark,
