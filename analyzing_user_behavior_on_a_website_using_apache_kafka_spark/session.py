@@ -46,6 +46,15 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as raw int64 ns and normalize in catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The fixtures are single ~1-100 MB files; the 128 MB default
+        # gives every scan ONE task on local[32]. 4 MB splits keep all
+        # cores busy (measured ~2x on scan-bound queries). LOCAL-RIG
+        # value: on a cluster use 128-512 MB (SCALE.md §Scans) via this
+        # env var — task-per-4MB at 100 TB would be 25M tasks.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
