@@ -92,14 +92,21 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_append")  # rows-only oracle: sink round-trip is not SQL
+@query(
+    "q_sink_append",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies FROM nation
+    """,
+)
 def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode parquet sink + read-back (register path, R26).
 
     Writes a small projection out in append mode to a fresh temp dir and
-    reads it back; returns the read-back rows. At scale this is the same
-    ``df.write.mode("append")`` against a partitioned table location —
-    Spark's parquet commit protocol makes the append atomic per job.
+    reads it back; returns the read-back rows — deterministically 2
+    copies of every nation row (one overwrite + one append), which is
+    the SQL oracle. At scale this is the same ``df.write.mode("append")``
+    against a partitioned table location — Spark's parquet commit
+    protocol makes the append atomic per job.
     """
     out = os.path.join(
         tempfile.gettempdir(), "analyzing_ub_sink_append", os.path.basename(sf_dir)

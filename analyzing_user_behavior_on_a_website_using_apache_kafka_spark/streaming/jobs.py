@@ -66,10 +66,24 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_sliding")  # self-oracle: verified vs batch plan in tests
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+               - k * INTERVAL 1 HOUR AS window_start,
+             event_type
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM x GROUP BY window_start, event_type
+    """,
+)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (2 h window, 1 h slide): each event lands in two
-    overlapping windows; complete mode emits all of them."""
+    """Sliding window (2 h window, 1 h slide): each event lands in
+    exactly two overlapping windows — the oracle materializes that
+    expansion relationally (event → window starts {trunc(ts),
+    trunc(ts)−1h}) and aggregates; complete mode emits all windows."""
     ev = stream_table(spark, sf_dir, "events")
     agg = ev.groupBy(
         F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
@@ -124,14 +138,32 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_watermark_late")  # self-oracle: emission depends on
+@query(
+    "q_stream_watermark_late",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT window_start, cnt FROM b, wm
+    WHERE window_start + INTERVAL 1 HOUR <= w
+    """,
+)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + append mode: only hour-windows whose end precedes the
     final watermark (max event time − 10 min) are emitted; later windows
     stay open in state. The reference needs no watermark because it
     recomputes everything (SURVEY §2.2) — this is the incremental
-    replacement. Emission set depends on micro-batch boundaries →
-    rows-only driver check; the unit test pins the single-batch case."""
+    replacement.
+
+    Oracle note: the emission set is deterministic here because the
+    source directory holds exactly ONE file (sources.file_stream), so
+    every event lands in micro-batch 1 and the AvailableNow final
+    watermark is max(ts) − 10 min — i.e. emitted ≡ windows whose end ≤
+    that watermark, which is the SQL oracle. Multi-batch arrival orders
+    would emit a prefix per batch but the same final set."""
     ev = stream_table(spark, sf_dir, "events").withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("cnt")
