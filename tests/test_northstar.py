@@ -66,6 +66,39 @@ def test_approx_distinct_error(spark, sf_dir):
         assert rel_err < 0.05, f"HLL rel error {rel_err:.3f} too high"
 
 
+def test_minhash_banding_finds_true_near_dups(spark, sf_dir):
+    """Quality gate against ground truth. Banding theory (8 bands × 4
+    rows): P(miss) = (1−j⁴)⁸ ≈ 1.4e-6 at j=0.95, ≈1.5% at j=0.8. The
+    fixture corpus shares a small vocabulary so token-SET jaccard runs
+    high — thousands of true pairs make the recall measurement tight:
+    every j ≥ 0.95 pair must surface, recall(j ≥ 0.8) ≥ 0.95, and the
+    sketch estimate must track truth within sketch error."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = {r.doc_id: set(r.text.split()) for r in d.collect()}
+    true_pairs = {}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(toks[a] & toks[b])
+            if not inter:
+                continue
+            j = inter / len(toks[a] | toks[b])
+            if j >= 0.8:
+                true_pairs[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in registry.all_queries()["q_dedup_near"](spark, sf_dir).collect()
+    }
+    certain = {p for p, j in true_pairs.items() if j >= 0.95}
+    missed_certain = certain - set(got)
+    assert not missed_certain, f"missed j>=0.95 pairs: {sorted(missed_certain)[:5]}"
+    found = len(set(true_pairs) & set(got))
+    recall = found / len(true_pairs)
+    assert recall >= 0.95, f"recall(j>=0.8) = {recall:.3f}"
+    for p in set(true_pairs) & set(got):
+        assert abs(got[p] - true_pairs[p]) < 0.3, (p, true_pairs[p], got[p])
+
+
 def test_near_dup_self_consistency(spark, sf_dir):
     # every near-dup candidate pair must estimate jaccard in [0, 1] and
     # be ordered doc_a < doc_b with no duplicates
