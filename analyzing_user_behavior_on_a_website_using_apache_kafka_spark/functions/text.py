@@ -10,6 +10,7 @@ dictionary-sized — broadcast it back instead of re-shuffling the corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -195,6 +196,66 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+@query(
+    "q_pipeline_curate",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, text, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS diversity
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 400
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.3
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(diversity), 6) AS avg_diversity
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the training-data curation pipeline:
+    quality gate (token count + lexical diversity) → exact dedup on the
+    normalization fingerprint (keep lowest doc_id) → per-language corpus
+    accounting. Every stage is a prior declared operator
+    (q_text_quality, q_text_fingerprint, q_dedup_exact, q_text_langstats)
+    composed into ONE declarative plan: Catalyst fuses the gate into the
+    scan, the dedup is one shuffle on the 128-bit fingerprint, the final
+    rollup one more — 100 TB cost is two shuffles over survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    gated = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tokens.alias("n_tokens"),
+        diversity.alias("diversity"),
+    ).filter(n_tokens.between(20, 400) & (diversity > 0.3))
+    w = W.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("diversity"), 6).alias("avg_diversity"),
     )
 
 
