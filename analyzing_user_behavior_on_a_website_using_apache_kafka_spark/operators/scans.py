@@ -120,3 +120,36 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .withColumnRenamed("count", "n_copies")
     )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned read-back — the
+    layout a 100 TB event log actually lives in (dt=/type= directories).
+    Writes events partitioned by event_type, then reads back with a
+    partition-key filter: the filter resolves against directory names
+    (PartitionFilters in the scan node, asserted in tests/test_plans),
+    so 3 of the 5 partitions are never opened. At scale this is the
+    difference between scanning 100 TB and scanning the 2 partitions a
+    query touches."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "analyzing_ub_sink_part",
+        os.path.basename(sf_dir),
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

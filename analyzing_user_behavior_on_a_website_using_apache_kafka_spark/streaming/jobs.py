@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..registry import query
 from ..sources.file_stream import run_to_memory, stream_table
 
@@ -207,4 +208,37 @@ def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(new) instead of O(everything) per cycle."""
     ev = stream_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return run_to_memory(agg, "complete")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event feed joined to the
+    customer dimension, rolled up per (market segment, event type) —
+    the reference's per-dimension report (``Raport.py:41-88``, R12/R24)
+    with the dimension coming from a TABLE instead of being denormalized
+    into every Kafka message. The static side is explicitly broadcast:
+    each micro-batch joins map-side with zero shuffle of the stream, and
+    the dimension is re-read per trigger so slowly-changing updates are
+    picked up for free. State is the (segment, type) count grid —
+    bounded regardless of stream length."""
+    ev = stream_table(spark, sf_dir, "events")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    joined = ev.join(dim, ev.user_id == dim.c_custkey, "inner")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
     return run_to_memory(agg, "complete")

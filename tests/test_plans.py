@@ -96,3 +96,15 @@ def test_codegen_covers_plan(spark, sf_dir):
         assert plans.wholestage_codegen_spans(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """q_sink_partitioned's read-back must resolve the event_type filter
+    against directory names (partition pruning), not row groups: the
+    scan node lists PartitionFilters on event_type and scans only the 2
+    matching of 5 partition directories."""
+    df = registry.all_queries()["q_sink_partitioned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    start = plan.index("PartitionFilters")
+    assert "event_type" in plan[start : start + 200], plan[start : start + 200]
