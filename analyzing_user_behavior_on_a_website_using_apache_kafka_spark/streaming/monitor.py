@@ -61,3 +61,27 @@ def attach(spark: SparkSession, max_events: int = 1000) -> MetricsListener:
     listener = MetricsListener(max_events)
     spark.streams.addListener(listener)
     return listener
+
+
+def audited(df, name: str, *metrics):
+    """Attach free data-quality counters to a batch plan via the
+    ``Observation`` API: the metrics (any aggregate expressions) are
+    computed DURING the job's normal pass — no second scan, which at
+    100 TB is the difference between auditing and not auditing.
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    first action on ``df``. Typical use::
+
+        df, obs = audited(curated, "curation",
+                          F.count(F.lit(1)).alias("rows_out"),
+                          F.sum(F.col("n_tokens")).alias("tokens_out"))
+        df.write.parquet(out)
+        assert obs.get["rows_out"] > 0
+
+    Replaces the reference's count-by-print auditing (``Raport.py:84``)
+    with metrics that ride the job itself.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
