@@ -84,18 +84,39 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority, CAST(1 AS INT) AS within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality path.
 
     One pass, fixed memory per group, mergeable sketches — this is what
-    replaces exact COUNT(DISTINCT) at scale. Estimates are
-    engine-specific, so the driver records rows-only; the companion unit
-    test asserts the estimate is within 5% of the exact count.
+    replaces exact COUNT(DISTINCT) at scale. The raw HLL estimate is
+    engine-specific and can't be hash-compared, so the query projects a
+    checkable invariant instead: 1 iff the estimate lands within 5% of
+    the exact count (rsd=0.01, so 5% is generous). The oracle is simply
+    `SELECT key, 1` — a red row means the sketch drifted out of
+    tolerance. Both the approximate and exact aggregates run in the same
+    single shuffle.
     """
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+        F.when(
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("within_tol")
     )
 
 

@@ -114,21 +114,27 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS types_seen,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS types_seen,
            CAST(len(list_distinct(list(event_type))) AS INT) AS n_types
     FROM events
     GROUP BY user_id
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set into a sorted array (the per-entity label set).
+    """collect_set into a sorted, comma-joined label set per entity.
 
-    Sorting makes the array deterministic — raw collect order is
-    partition-dependent and never oracle-comparable.
+    Sorting makes the set deterministic — raw collect order is
+    partition-dependent and never oracle-comparable. The array is
+    projected to a scalar string (array_join) because differential
+    harnesses canonicalize rows via hashing and array cells are
+    unhashable; the array form remains available by dropping the join.
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("types_seen"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 
@@ -159,7 +165,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize_batch",
     oracle="""
     WITH seq AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -167,7 +173,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, event_type,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM seq
     )
@@ -188,7 +194,10 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-break makes the running sum a TOTAL order: with
+    # duplicate (user_id, ts) rows at a session boundary, ts-only
+    # ordering would assign session_no nondeterministically.
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     gap_ms = (
@@ -197,6 +206,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.when(
             gap_ms > 30 * 60 * 1000, 1
