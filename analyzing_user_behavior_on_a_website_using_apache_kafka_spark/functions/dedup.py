@@ -155,11 +155,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_T = 0.5
+
+
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, source,
+      SELECT doc_id,
              list_distinct(string_split(text, ' ')) AS words
       FROM documents
     )
@@ -168,40 +171,80 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                  len(list_distinct(list_concat(a.words, b.words))), 6)
              AS jaccard
     FROM tok a JOIN tok b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+      ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
           len(list_distinct(list_concat(a.words, b.words))) >= 0.5
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over blocked pairs (same `source`).
+    """Exact corpus-wide token-set Jaccard join via prefix filtering.
 
-    The blocking key bounds the quadratic term: pairs form only within a
-    source partition (at scale: within an LSH bucket — see
-    q_dedup_near). Set ops run as JVM higher-order functions.
+    AllPairs/PPJoin-style candidate generation (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08): tokens get a global total order (ascending
+    document frequency, rarest first); for Jaccard ≥ t a document's
+    *prefix* — its first |s| − ⌈t·|s|⌉ + 1 ordered tokens — must share a
+    token with any qualifying partner's prefix. Candidates therefore
+    come from an EQUI JOIN on exploded prefix tokens — a lossless
+    blocking (the oracle is the exact all-pairs join), with no cross
+    join and no quadratic per-block term keyed on a skewable attribute.
+    Exact Jaccard verifies candidates via JVM higher-order set ops.
+
+    100 TB notes: the token-frequency dictionary is vocabulary-sized →
+    broadcast (hash-join it unhinted if the vocabulary outgrows the
+    driver); candidate volume concentrates on rare tokens, which is the
+    point of the frequency ordering. Verification joins shuffle word
+    arrays by doc_id only for surviving candidates.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    words_ex = tok.select("doc_id", F.explode("words").alias("token"))
+    freq = words_ex.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # rebuild each doc's tokens sorted by the global (freq, token) order
+    ordered = (
+        words_ex.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("freq", "token"))).alias(
+                "wf"
+            )
+        )
+    )
+    # t = 0.5 → prefix length p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1
+    n = F.size("wf")
+    p = (F.floor(n / 2) + 1).cast("int")
+    prefixes = ordered.select(
         "doc_id",
-        "source",
-        F.array_distinct(F.split("text", " ")).alias("words"),
+        F.explode(
+            F.slice(F.transform("wf", lambda s: s["token"]), F.lit(1), p)
+        ).alias("token"),
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(
-        F.array_distinct(F.concat(F.col("a.words"), F.col("b.words")))
+    cand = (
+        prefixes.alias("pa")
+        .join(
+            prefixes.alias("pb"),
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_distinct(F.concat("wa", "wb")))
     jac = inter.cast("double") / union
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.5)
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= _JACCARD_T)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(jac, 6).alias("jaccard"),
         )
     )
@@ -308,37 +351,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_embed_cosine",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ),
-    scored AS (
-      SELECT a.vec_id AS doc_id, b.vec_id AS nn_id,
-             list_dot_product(a.emb, b.emb) /
-               (sqrt(list_dot_product(a.emb, a.emb)) *
-                sqrt(list_dot_product(b.emb, b.emb))) AS sim
-      FROM v a JOIN v b ON a.vec_id <> b.vec_id
-    )
-    SELECT doc_id, nn_id, ROUND(sim, 6) AS nn_cosine,
-           CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END AS is_near_dup
-    FROM (
-      SELECT doc_id, nn_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY sim DESC, nn_id) AS rn
-      FROM scored
-    ) WHERE rn = 1
-    """,
-)
-def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: each vector's nearest neighbor + flag.
+def embed_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs nearest neighbor — TEST-ONLY recall oracle.
 
-    Exact all-pairs at fixture scale (the corpus side stays partitioned;
-    only the comparison set broadcasts). At 100 TB the pair generation
-    swaps to the LSH buckets of `q_sim_ann` — same scoring/flagging
-    tail, candidates from bucket joins instead of the full cross
-    product. Near-dup flag at cosine ≥ 0.9.
+    O(n²) compute with the whole corpus broadcast: correct at fixture
+    scale, impossible at 100 TB. Deliberately NOT registered as a query;
+    tests/test_northstar.py uses it to measure the registered LSH
+    version's nearest-neighbor recall.
     """
     from .similarity import cosine
 
@@ -361,6 +380,90 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "nn_id",
+            F.round("sim", 6).alias("nn_cosine"),
+            F.when(F.col("sim") >= 0.9, 1).otherwise(0).alias("is_near_dup"),
+        )
+    )
+
+
+@query("q_dedup_embed_cosine")  # rows-only: LSH neighbor sets are approximate
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: approximate NN per vector via hyperplane LSH.
+
+    Candidate pairs form ONLY inside (table, bucket) equi-join cells of
+    the same deterministic random-hyperplane LSH used by `q_sim_ann` —
+    the corpus is never cross-joined and never broadcast (the join is a
+    shuffled hash/sort-merge join on the bucket key). Exact cosine
+    re-ranks candidates; each vector keeps its best candidate and a
+    near-dup flag at cosine ≥ 0.9. Vectors whose buckets yield no
+    candidate surface with a NULL neighbor, so the output is always
+    exactly one row per corpus vector (the rows-only driver invariant).
+
+    At 100 TB bucket width (_N_PLANES) rises until per-bucket cells fit
+    an executor; misses cost recall, not correctness of the flag —
+    near-dup pairs (cosine ≥ 0.9) collide in ≥1 of the 16 tables with
+    probability ≈ 1 − 4e-5. Exact-NN recall vs `embed_cosine_allpairs`
+    is asserted in tests/test_northstar.py.
+    """
+    from .similarity import _N_TABLES, cosine, simhash_bucket
+
+    dim = 64  # embeddings fixture dimension (FIXTURES.md)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    tables = [
+        v.select(
+            "vec_id",
+            F.lit(t).alias("tbl"),
+            simhash_bucket(F.col("emb"), dim, t).alias("bucket"),
+        )
+        for t in range(_N_TABLES)
+    ]
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    # candidate pairs: co-bucketed in ≥1 table, generated once (a < b)
+    # then symmetrized so both endpoints see the pair
+    half = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_id"),
+            F.col("b.vec_id").alias("nn_id"),
+        )
+        .dropDuplicates(["doc_id", "nn_id"])
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("nn_id").alias("doc_id"), F.col("doc_id").alias("nn_id")
+        )
+    )
+    emb_a = v.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ea"))
+    emb_b = v.select(F.col("vec_id").alias("nn_id"), F.col("emb").alias("eb"))
+    scored = (
+        pairs.join(emb_a, "doc_id")
+        .join(emb_b, "nn_id")
+        .select(
+            "doc_id", "nn_id", cosine(F.col("ea"), F.col("eb")).alias("sim")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "nn_id", "sim")
+    )
+    return (
+        v.select(F.col("vec_id").alias("doc_id"))
+        .join(best, "doc_id", "left")
         .select(
             "doc_id",
             "nn_id",

@@ -95,19 +95,28 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashingTF whose bucketed terms are engine-specific).
 
     Plan shape: one shuffle for tf (doc_id, word), one dictionary-sized
-    aggregate for df broadcast back onto tf. At 100 TB the df side is
-    O(vocabulary) — always the broadcast side.
+    aggregate for df broadcast back onto tf, and N as a ONE-ROW
+    aggregate cross-joined broadcast (mirroring the oracle's `n` CTE) —
+    fully lazy, no driver-side job during plan construction. At 100 TB
+    the df side is O(vocabulary) — always the broadcast side.
     """
     tok = tokenized(spark, sf_dir)
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    return tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
 
 

@@ -111,25 +111,32 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_win_range_frame",
     oracle="""
-    SELECT p_partkey, p_size,
+    SELECT p_partkey, p_brand, p_size,
            CAST(COUNT(*) OVER (
+             PARTITION BY p_brand
              ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
            ) AS BIGINT) AS n_similar_size
     FROM part
     """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame: parts within ±2 of each part's size.
+    """RANGE frame: same-brand parts within ±2 of each part's size.
 
-    Value-based (RANGE) frame, not row-based — the frame contains every
-    peer whose p_size is within the band, independent of row order. Runs
-    unpartitioned here because part is a dimension table; a fact-scale
-    variant must partition first.
+    Value-based (RANGE) frame, not row-based — the frame holds every
+    peer whose p_size is within the band, independent of row order. The
+    window is PARTITIONED (by p_brand) — an unpartitioned ordered window
+    would move the whole table through one reducer, the exact
+    single-node wall tests/test_plans.py guards against. A *global*
+    RANGE count needs no window at all at scale: it is a histogram
+    convolution — groupBy(p_size).count(), self-join the tiny histogram
+    on |Δsize| ≤ 2, broadcast the summed counts back — which is how the
+    unpartitioned semantics should be expressed on 100 TB.
     """
     p = load_table(spark, sf_dir, "part")
-    w = W.orderBy("p_size").rangeBetween(-2, 2)
+    w = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 2)
     return p.select(
         "p_partkey",
+        "p_brand",
         "p_size",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_similar_size"),
     )

@@ -13,6 +13,7 @@ from .inspect import (  # noqa: F401
     formatted_plan,
     pushed_filters,
     read_schema_columns,
+    unpartitioned_window_count,
     uses_operator,
     wholestage_codegen_spans,
 )

@@ -47,6 +47,56 @@ def uses_operator(df: DataFrame, op: str) -> bool:
     return op in formatted_plan(df)
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """How many Window nodes in the optimized logical plan have an EMPTY
+    partition spec over UNAGGREGATED input — the
+    move-everything-to-one-reducer shape that stalls at scale.
+
+    A logical Window prints as
+    ``Window [exprs], [partitionExprs], [orderExprs]`` — three top-level
+    bracket groups — while an unpartitioned one omits the middle group
+    (counted by bracket-depth parsing; expressions nest brackets). An
+    unpartitioned window whose subtree contains an Aggregate is NOT
+    flagged: its input is O(groups) rows (e.g. share-of-total over a
+    histogram), a legitimate pattern.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+
+    def _indent(raw: str) -> int:
+        return len(raw) - len(raw.lstrip(" +-:"))
+
+    bad = 0
+    for i, raw in enumerate(lines):
+        s = raw.strip().lstrip("+-: ").strip()
+        if not s.startswith("Window ["):
+            continue
+        depth = 0
+        groups = 0
+        for ch in s[len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups >= 3:
+            continue
+        # unpartitioned: inspect this node's subtree (deeper-indented
+        # lines until a sibling at the same or shallower indent)
+        my_indent = _indent(raw)
+        subtree_has_agg = False
+        for below in lines[i + 1 :]:
+            if below.strip() and _indent(below) <= my_indent:
+                break
+            if below.strip().lstrip("+-: ").startswith("Aggregate "):
+                subtree_has_agg = True
+                break
+        if not subtree_has_agg:
+            bad += 1
+    return bad
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions — wider/fewer is better.
 

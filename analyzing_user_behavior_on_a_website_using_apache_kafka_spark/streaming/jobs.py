@@ -99,15 +99,15 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
     WITH seq AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM seq
     )
@@ -181,12 +181,17 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id (north-star: exactly-once
-    event feeds). Watermarked so state is droppable at scale; emits on
-    first sight → append mode output equals batch DISTINCT."""
+    event feeds). Uses dropDuplicatesWithinWatermark, which ACTUALLY
+    evicts per-key state once the watermark passes — plain
+    dropDuplicates([k]) without the event-time column in the key keeps
+    state forever, the unbounded-state trap at scale. Duplicates are
+    suppressed as long as they arrive within the 1 h watermark delay of
+    the first sighting (the delivery-retry window of a real feed); emits
+    on first sight → append output equals batch DISTINCT."""
     ev = stream_table(spark, sf_dir, "events")
     deduped = (
         ev.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
     return run_to_memory(deduped, "append")

@@ -98,6 +98,34 @@ def test_codegen_covers_plan(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_dedup_plans_never_cross_join_corpus(spark, sf_dir):
+    """The round-1 scale-killers stay dead: neither near-dup query may
+    plan a cartesian product or broadcast-nested-loop join (i.e. no
+    all-pairs comparison and no full-corpus broadcast). Candidates must
+    come from equi joins on blocking keys (LSH buckets / prefix
+    tokens)."""
+    qs = registry.all_queries()
+    for name in ("q_dedup_embed_cosine", "q_dedup_ngram_jaccard", "q_dedup_near"):
+        df = qs[name](spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_windows_always_partitioned(spark, sf_dir):
+    """No registered batch query may plan an unpartitioned Window over
+    unaggregated input — an empty partition spec moves the entire input
+    to one reducer, the canonical single-node wall at 100 TB. (Windows
+    over a prior Aggregate are exempt: their input is O(groups).)"""
+    qs = registry.all_queries()
+    for name, fn in qs.items():
+        if name.startswith("q_stream_"):
+            continue
+        df = fn(spark, sf_dir)
+        n = plans.unpartitioned_window_count(df)
+        assert n == 0, f"{name}: {n} unpartitioned Window node(s)"
+
+
 def test_partitioned_read_prunes_partitions(spark, sf_dir):
     """q_sink_partitioned's read-back must resolve the event_type filter
     against directory names (partition pruning), not row groups: the
