@@ -408,23 +408,13 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ≈ 1 − 4e-5. Exact-NN recall vs `embed_cosine_allpairs`
     is asserted in tests/test_northstar.py.
     """
-    from .similarity import _N_TABLES, cosine, simhash_bucket
+    from .similarity import bucketed_all_tables, cosine
 
     dim = 64  # embeddings fixture dimension (FIXTURES.md)
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    tables = [
-        v.select(
-            "vec_id",
-            F.lit(t).alias("tbl"),
-            simhash_bucket(F.col("emb"), dim, t).alias("bucket"),
-        )
-        for t in range(_N_TABLES)
-    ]
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    bucketed = bucketed_all_tables(v, dim).drop("emb")
     # candidate pairs: co-bucketed in ≥1 table, generated once (a < b)
     # then symmetrized so both endpoints see the pair
     half = (

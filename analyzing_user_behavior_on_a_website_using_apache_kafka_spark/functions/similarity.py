@@ -162,6 +162,69 @@ def simhash_bucket(emb: Column, dim: int, table: int) -> Column:
     return bucket
 
 
+_COEFF_CACHE: dict[int, "object"] = {}
+
+
+def _coeff_matrix(dim: int):
+    """(dim × _N_TABLES·_N_PLANES) hyperplane matrix, column (t·P + p) =
+    plane p of table t — identical coefficients to `simhash_bucket`."""
+    import numpy as np
+
+    if dim not in _COEFF_CACHE:
+        m = np.empty((dim, _N_TABLES * _N_PLANES), dtype=np.float64)
+        for t in range(_N_TABLES):
+            for p in range(_N_PLANES):
+                for d in range(dim):
+                    m[d, t * _N_PLANES + p] = _plane_coeff(t, p, d)
+        _COEFF_CACHE[dim] = m
+    return _COEFF_CACHE[dim]
+
+
+@F.pandas_udf("array<int>")
+def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
+    """All _N_TABLES bucket ids per vector as ONE numpy matmul.
+
+    The pure-expression twin (`simhash_bucket`) runs 80 higher-order
+    `aggregate` lambdas per row, which Catalyst interprets rather than
+    codegens — an order of magnitude slower. Here each Arrow batch does
+    a single (batch × dim) @ (dim × 80) product, takes signs, and packs
+    _N_PLANES bits per table (plane 0 = MSB, matching
+    `bucket*2 + bit`). Equality of the two paths is asserted in
+    tests/test_northstar.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    x = np.vstack(emb.to_numpy())  # (n, dim)
+    bits = (x @ _coeff_matrix(x.shape[1]) >= 0).astype(np.int64)
+    weights = np.tile(
+        1 << np.arange(_N_PLANES - 1, -1, -1, dtype=np.int64), _N_TABLES
+    )
+    packed = (bits * weights).reshape(-1, _N_TABLES, _N_PLANES).sum(axis=2)
+    return pd.Series(list(packed.astype(np.int32)))
+
+
+def bucketed_all_tables(v: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, emb) → (vec_id, emb, tbl, bucket) for ALL LSH tables in
+    ONE corpus pass.
+
+    All _N_TABLES × _N_PLANES projections are computed per row by the
+    Arrow-batched matmul UDF, then pivoted to rows with `posexplode` —
+    versus a per-table union, which re-scans (and re-computes the
+    bucket expressions over) the corpus _N_TABLES times. Output volume
+    is identical (n × _N_TABLES rows); input volume drops 16× and the
+    projection math runs vectorized.
+    """
+    from ..serialization import pickle_module_by_value
+
+    pickle_module_by_value(__name__)
+    return v.select(
+        "vec_id", "emb", _lsh_bucket_ids("emb").alias("_bks")
+    ).select(
+        "vec_id", "emb", F.posexplode("_bks").alias("tbl", "bucket")
+    )
+
+
 # --- ANN: IVF (inverted-file) variant ---------------------------------------
 
 _IVF_K = 16  # coarse centroids
@@ -256,19 +319,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    tables = []
-    for t in range(_N_TABLES):
-        tables.append(
-            v.select(
-                "vec_id",
-                "emb",
-                F.lit(t).alias("tbl"),
-                simhash_bucket(F.col("emb"), dim, t).alias("bucket"),
-            )
-        )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    bucketed = bucketed_all_tables(v, dim)
     probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("probe_emb"),

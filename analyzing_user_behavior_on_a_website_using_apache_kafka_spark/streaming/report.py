@@ -9,6 +9,10 @@ same way here:
 - :func:`report_model` — the *data* of the report, assembled from the
   clickstream aggregates via one driver-side ``collect()`` of the
   O(services × values) result. Deterministic, fully tested.
+- :func:`render_svg` — a ZERO-dependency renderer of the same model:
+  title, overall pie, per-service dimension pies as a standalone SVG
+  document (the deployable artifact this container can actually
+  produce). Deterministic byte-for-byte — golden-file tested.
 - :func:`render_pdf` — matplotlib/reportlab rendering, STUBBED behind an
   import-try (neither library exists in this container); the model→PDF
   mapping is documented 1:1 against Raport.py so the renderer is a
@@ -70,6 +74,150 @@ def report_model(histograms: DataFrame) -> dict[str, Any]:
             for s, hists in sorted(per_service.items())
         ],
     }
+
+
+_PALETTE = (
+    "#4e79a7", "#f28e2b", "#e15759", "#76b7b2", "#59a14f",
+    "#edc948", "#b07aa1", "#ff9da7", "#9c755f", "#bab0ac",
+)
+_PIE_R = 70.0
+
+
+def _pie_svg(cx: float, cy: float, slices: list[tuple[str, float]]) -> str:
+    """SVG fragment: a pie at (cx, cy) from (label, fraction) slices.
+
+    Fractions must sum to ~1. Slices start at 12 o'clock and run
+    clockwise; a single full-circle slice renders as a <circle> (an arc
+    with coincident endpoints would collapse). Pure math.* — no plotting
+    library.
+    """
+    import math
+
+    parts: list[str] = []
+    if len([f for _, f in slices if f > 0]) == 1:
+        color = _PALETTE[
+            next(i for i, (_, f) in enumerate(slices) if f > 0) % len(_PALETTE)
+        ]
+        parts.append(
+            f'<circle cx="{cx:.1f}" cy="{cy:.1f}" r="{_PIE_R:.1f}" '
+            f'fill="{color}" stroke="white"/>'
+        )
+        return "".join(parts)
+    angle = -math.pi / 2
+    for i, (_, frac) in enumerate(slices):
+        if frac <= 0:
+            continue
+        end = angle + 2 * math.pi * frac
+        x1 = cx + _PIE_R * math.cos(angle)
+        y1 = cy + _PIE_R * math.sin(angle)
+        x2 = cx + _PIE_R * math.cos(end)
+        y2 = cy + _PIE_R * math.sin(end)
+        large = 1 if frac > 0.5 else 0
+        parts.append(
+            f'<path d="M{cx:.1f},{cy:.1f} L{x1:.2f},{y1:.2f} '
+            f'A{_PIE_R:.1f},{_PIE_R:.1f} 0 {large} 1 {x2:.2f},{y2:.2f} Z" '
+            f'fill="{_PALETTE[i % len(_PALETTE)]}" stroke="white"/>'
+        )
+        angle = end
+    return "".join(parts)
+
+
+def _legend_svg(
+    x: float, y: float, entries: list[tuple[str, float]]
+) -> str:
+    """Legend rows: color swatch + 'label — NN.N%' (Raport.py:155 autopct)."""
+    rows = []
+    for i, (label, frac) in enumerate(entries):
+        ly = y + i * 18
+        rows.append(
+            f'<rect x="{x:.1f}" y="{ly - 10:.1f}" width="12" height="12" '
+            f'fill="{_PALETTE[i % len(_PALETTE)]}"/>'
+            f'<text x="{x + 18:.1f}" y="{ly:.1f}" font-size="12">'
+            f"{_esc(label)} — {frac * 100:.1f}%</text>"
+        )
+    return "".join(rows)
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def render_svg(model: dict[str, Any], path: str | None = None) -> str:
+    """Render the report model as one standalone SVG document.
+
+    Same artifact structure as the reference's raport.pdf
+    (``Raport.py:101-213``): title block, overall clicks-per-service pie
+    with ``{service} ({count})`` labels and percentage shares, then per
+    service a heading and one pie per dimension (age/city/gender).
+    Deterministic output for a given model (fixed palette, fixed layout,
+    fixed float formatting) — golden-file testable. Returns the SVG text;
+    writes it to ``path`` when given.
+    """
+    width = 640
+    sections: list[str] = []
+    y = 40.0
+    sections.append(
+        f'<text x="{width / 2}" y="{y:.1f}" text-anchor="middle" '
+        f'font-size="20" font-weight="bold">{_esc(model["title"])}</text>'
+    )
+    y += 40
+    overall = model["overall"]
+    if overall:
+        sections.append(
+            f'<text x="40" y="{y:.1f}" font-size="16" font-weight="bold">'
+            "Klikniecia w serwisy</text>"
+        )
+        y += 20
+        entries = [(e["label"], e["share"]) for e in overall]
+        sections.append(_pie_svg(140, y + _PIE_R + 10, entries))
+        sections.append(_legend_svg(260, y + 30, entries))
+        y += 2 * _PIE_R + 40
+    for svc in model["services"]:
+        sections.append(
+            f'<text x="40" y="{y:.1f}" font-size="16" font-weight="bold">'
+            f"Raport serwisu: {_esc(svc['service'])}</text>"
+        )
+        y += 20
+        for dim in sorted(svc["histograms"]):
+            rows = svc["histograms"][dim]
+            total = sum(c for _, c, _ in rows) or 1
+            entries = [(f"{v} ({c})", c / total) for v, c, _ in rows]
+            sections.append(
+                f'<text x="40" y="{y:.1f}" font-size="13">{_esc(dim)}</text>'
+            )
+            y += 10
+            sections.append(_pie_svg(140, y + _PIE_R, entries))
+            sections.append(_legend_svg(260, y + 20, entries))
+            y += 2 * _PIE_R + 30
+    height = int(y + 20)
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+        f'<rect width="{width}" height="{height}" fill="white"/>'
+        + "".join(sections)
+        + "</svg>"
+    )
+    if path is not None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(svg)
+        os.replace(tmp, path)  # atomic: readers never see a torn file
+    return svg
+
+
+def svg_sink(path: str) -> Callable[[dict[str, Any], int], None]:
+    """A ``run_report_stream`` sink that (re)writes ``path`` per epoch —
+    the Spark-side twin of the reference overwriting raport.pdf every
+    60 s (``Raport.py:204,217-227``). The atomic rename in
+    :func:`render_svg` replaces the reference's psutil open-file guard
+    (``Raport.py:91-98``)."""
+
+    def sink(model: dict[str, Any], epoch_id: int) -> None:
+        render_svg(model, path)
+
+    return sink
 
 
 def render_pdf(model: dict[str, Any], path: str) -> str:

@@ -7,7 +7,9 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Headline set = the operator families that dominate a 100 TB run: wide
 agg, multiway join, window, top-k, as-of, text tokenize, tfidf, dedup,
-similarity. Each query executes to completion (count() materializes the
+similarity (brute-force AND the bucketed ANN path), plus one stateful
+streaming job (stream-static join) so the state-store path has a tracked
+wall-time. Each query executes to completion (count() materializes the
 full plan; nothing collects to the driver).
 """
 
@@ -39,6 +41,8 @@ HEADLINE = [
     "q_text_tfidf",
     "q_dedup_exact",
     "q_sim_topk_bruteforce",
+    "q_sim_ann",
+    "q_stream_static_join",
 ]
 
 

@@ -158,6 +158,34 @@ def test_simhash_hamming_bounds(spark, sf_dir):
     assert out.count() == len(sigs)  # one row per doc, always non-empty
 
 
+def test_lsh_bucket_udf_matches_expression_path(spark, sf_dir):
+    """The vectorized matmul UDF and the pure-expression simhash_bucket
+    must assign IDENTICAL (table, bucket) ids — the UDF is a physical
+    optimization, not a semantic change."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _N_TABLES,
+        bucketed_all_tables,
+        simhash_bucket,
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    via_udf = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in bucketed_all_tables(v, 64).collect()
+    }
+    for t in range(0, _N_TABLES, 5):  # spot-check a third of the tables
+        via_expr = {
+            (r.vec_id, t): r.b
+            for r in v.select(
+                "vec_id", simhash_bucket(F.col("emb"), 64, t).alias("b")
+            ).collect()
+        }
+        for k, b in via_expr.items():
+            assert via_udf[k] == b, k
+
+
 def test_embed_cosine_nn_is_symmetric_top1(spark, sf_dir):
     rows = registry.all_queries()["q_dedup_embed_cosine"](spark, sf_dir).collect()
     n_vecs = load_table(spark, sf_dir, "embeddings").count()

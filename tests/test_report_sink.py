@@ -78,6 +78,42 @@ def test_report_stream_incremental(spark, histograms, sf_dir, tmp_path):
     assert captured[-1] == batch_model
 
 
+def test_render_svg_matches_golden(histograms):
+    """The rendered artifact is byte-stable: same model → same SVG.
+    Golden generated from the hand-computed fixture; a diff here means
+    the renderer's layout/labels/shares changed."""
+    import os
+
+    model = report.report_model(histograms)
+    svg = report.render_svg(model)
+    golden = os.path.join(os.path.dirname(__file__), "golden", "raport.svg")
+    with open(golden, encoding="utf-8") as fh:
+        assert svg == fh.read()
+
+
+def test_render_svg_content_and_structure(histograms):
+    import xml.dom.minidom
+
+    model = report.report_model(histograms)
+    svg = report.render_svg(model)
+    xml.dom.minidom.parseString(svg)  # well-formed
+    # Raport.py parity: title, count labels, per-service sections
+    assert "Raport analizy" in svg
+    assert "gitlab (3)" in svg and "kafka (2)" in svg  # :152 f-string
+    assert "Raport serwisu: gitlab" in svg
+    assert "60.0%" in svg  # gitlab share 3/5 (:155 autopct)
+    assert "home" not in svg  # dropped at ingest
+
+
+def test_svg_sink_writes_atomically(histograms, tmp_path):
+    model = report.report_model(histograms)
+    out = str(tmp_path / "raport.svg")
+    report.svg_sink(out)(model, epoch_id=0)
+    with open(out, encoding="utf-8") as fh:
+        assert fh.read() == report.render_svg(model)
+    assert not (tmp_path / "raport.svg.tmp").exists()
+
+
 def test_render_pdf_is_stubbed(histograms):
     model = report.report_model(histograms)
     with pytest.raises(NotImplementedError):
