@@ -5,9 +5,11 @@ The LLM-data-pipeline dedup ladder, each a separate declared query:
 - exact:   hash-groupBy on the full text (one shuffle on the text hash);
 - minhash: MinHash+LSH over word shingles — O(n) per doc, candidate
   pairs only where a band bucket collides (bucket-join, no crossJoin);
-- ngram Jaccard: exact verification on blocked candidate pairs;
+- ngram Jaccard: exact similarity join via lossless prefix filtering;
+- clusters: connected components over the near-dup graph (iterative
+  min-label propagation), keeper per component;
 - simhash: 48-bit sign-sum fingerprint, banded for hamming-≤k pairs;
-- embedding cosine: nearest-neighbor flagging on the vector space.
+- embedding cosine: LSH-candidate nearest-neighbor flagging.
 
 At 100 TB exact dedup groups on a 128-bit fingerprint instead of the
 raw text (shuffle carries 16 bytes/doc, not the document), and LSH bands
@@ -195,6 +197,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of the frequency ordering. Verification joins shuffle word
     arrays by doc_id only for surviving candidates.
     """
+    return ngram_jaccard_pairs(spark, sf_dir)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair with Jaccard ≥ _JACCARD_T —
+    prefix-filtered exact similarity join (see q_dedup_ngram_jaccard)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
@@ -247,6 +255,102 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(jac, 6).alias("jaccard"),
         )
+    )
+
+
+# --- Duplicate-cluster resolution (connected components) ------------------
+
+_CC_MAX_ITERS = 25
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    ),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+    )
+    SELECT node AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS INT)
+             AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components of the
+    near-dup graph, keeper = min doc_id per component.
+
+    Pair output (q_dedup_ngram_jaccard) is not what a dedup pipeline
+    acts on — transitively-linked duplicates must collapse to ONE
+    keeper even when A~B, B~C but A≁C. Components via iterative
+    min-label propagation: every doc starts labeled with itself; each
+    round every doc takes the min label among itself and its graph
+    neighbors; fixpoint = component-minimum everywhere. Convergence is
+    detected from the monotonically-decreasing label SUM (one scalar
+    aggregate per round, no row-level diff join), and each round
+    `localCheckpoint`s to truncate lineage — the standard guard for
+    iterative DataFrame algorithms. Rounds needed = graph diameter
+    (≤ 3 on the fixture's dense graph); at 100 TB switch the iteration
+    body to alternating small-star/large-star (Kiveris et al., 2014),
+    which converges in O(log n) rounds on high-diameter graphs — the
+    per-round plan (join + min-agg on doc_id) is identical.
+
+    The oracle computes the same components exactly via a recursive-CTE
+    transitive closure — this is the rare iterative algorithm with a
+    SQL-checkable result.
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("cluster_id"),
+        F.when(F.col("label") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_keeper"),
     )
 
 

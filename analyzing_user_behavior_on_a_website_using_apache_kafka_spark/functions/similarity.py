@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..catalog import load_table
 from ..registry import query
@@ -180,7 +181,9 @@ def _coeff_matrix(dim: int):
     return _COEFF_CACHE[dim]
 
 
-@F.pandas_udf("array<int>")
+@F.pandas_udf(ArrayType(IntegerType()))  # typed object, not a DDL string:
+# string return types parse against the ACTIVE session, which need not
+# exist when this module is imported (e.g. pytest collection)
 def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     """All _N_TABLES bucket ids per vector as ONE numpy matmul.
 

@@ -93,6 +93,29 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip — the second columnar format Spark ships
+    natively. Same pushdown properties as parquet (column pruning +
+    predicate pushdown reach the stripe reader); included so a consumer
+    with ORC-resident data has a first-class path."""
+    out = os.path.join(
+        tempfile.gettempdir(), "aub_source_orc", os.path.basename(sf_dir)
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    sup.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
     "q_sink_append",
     oracle="""
     SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies FROM nation

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_exact",
     "q_dedup_near",
     "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
     "q_dedup_simhash",
     "q_dedup_embed_cosine",
     # text analysis
@@ -95,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_topk_bruteforce",
     "q_sim_ivf",
     "q_sim_ann",
+    # sources
+    "q_source_orc",
     # streaming
     "q_stream_kafka_source",
     "q_stream_tumbling",
@@ -113,8 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_multiway",
     "q_join_asof",
     "q_agg_sum_avg",
-    "q_agg_share",
-    "q_scan_project",
 )
 
 

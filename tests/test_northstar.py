@@ -111,6 +111,23 @@ def test_near_dup_self_consistency(spark, sf_dir):
     assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
 
 
+def test_dedup_clusters_are_transitive_and_keepered(spark, sf_dir):
+    """Every near-dup edge's endpoints share a cluster; each cluster has
+    exactly one keeper, and it is the minimum doc_id."""
+    qs = registry.all_queries()
+    cluster = {
+        r.doc_id: r.cluster_id
+        for r in qs["q_dedup_clusters"](spark, sf_dir).collect()
+    }
+    for r in qs["q_dedup_ngram_jaccard"](spark, sf_dir).collect():
+        assert cluster[r.doc_a] == cluster[r.doc_b], (r.doc_a, r.doc_b)
+    members: dict[int, list[int]] = {}
+    for d, c in cluster.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)  # keeper is the component minimum
+
+
 def test_multimodal_plumbing_deterministic(spark, sf_dir):
     df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
     out1 = {
