@@ -226,6 +226,72 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TWIN_BAND = 100.0  # |Δ o_totalprice| defining a "price twin"
+_BIN_W = 100.0  # bin width; bands ≤ bin width ⇒ 3 probe bins suffice
+
+
+@query(
+    "q_join_range_binned",
+    oracle=f"""
+    SELECT a.o_orderkey,
+           CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_price_twins
+    FROM orders a LEFT JOIN orders b
+      ON b.o_orderkey <> a.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) <= {_TWIN_BAND}
+    GROUP BY a.o_orderkey
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG-BIG range join via binning: per order, how many other orders
+    price within ±100 — both sides fact-sized, so the broadcast-BNLJ
+    strategy of `q_join_theta_range` is unavailable.
+
+    Quantize the range dimension into width-100 bins; each probe row
+    explodes to its 3 adjacent bins (|Δ| ≤ band ≤ bin width ⇒ the match
+    is in bin−1..bin+1 — lossless, and the 3 probe bins are distinct so
+    no pair is double-counted); join is a plain EQUI join on the bin id
+    (shuffle-partitioned, no broadcast, no nested loop), then the exact
+    band predicate re-checks. Probe replication = ⌈band/bin⌉ + 2 rows —
+    the knob trading shuffle volume against bin selectivity at 100 TB.
+    Zero-twin orders are restored by a left join of the counts.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    build = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_totalprice").alias("b_price"),
+        F.floor(F.col("o_totalprice") / _BIN_W).alias("bin"),
+    )
+    probe = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.array(
+                F.floor(F.col("o_totalprice") / _BIN_W) - 1,
+                F.floor(F.col("o_totalprice") / _BIN_W),
+                F.floor(F.col("o_totalprice") / _BIN_W) + 1,
+            )
+        ).alias("bin"),
+    )
+    twins = (
+        probe.join(build, "bin")
+        .filter(
+            (F.col("b_key") != F.col("o_orderkey"))
+            & (
+                F.abs(F.col("o_totalprice") - F.col("b_price"))
+                <= _TWIN_BAND
+            )
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return o.join(twins, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_price_twins"),
+    )
+
+
 @query(
     "q_join_asof",
     oracle="""

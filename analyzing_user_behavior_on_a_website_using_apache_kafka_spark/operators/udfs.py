@@ -144,3 +144,44 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
     )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+    )
+    SELECT p_partkey,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM t
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark ≥3.5) invoked laterally per input row:
+    part-name bigrams, 1 row → N−1 rows with arbitrary Python logic.
+
+    This is the imperative-fan-out escape hatch — used when the
+    expansion genuinely needs Python (stateful tokenizers, format
+    parsers); for expansions expressible as array ops, `explode` over
+    built-ins (q_udtf_explode) stays JVM-side and is strictly faster.
+    Row-at-a-time like any Python UDTF — kept off hot paths.
+    """
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import register_views
+
+    @udtf(returnType="p_partkey bigint, bigram string")
+    class Bigrams:
+        def eval(self, p_partkey: int, name: str):  # noqa: ANN001
+            words = [w for w in (name or "").split(" ") if w]
+            for a, b in zip(words, words[1:]):
+                yield p_partkey, f"{a} {b}"
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT b.p_partkey, b.bigram "
+        "FROM part, LATERAL bigrams_udtf(p_partkey, p_name) b"
+    )

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",
     "q_udaf_grouped",
     "q_udtf_explode",
+    "q_udtf_python",
     # dedup ladder
     "q_dedup_exact",
     "q_dedup_near",
@@ -98,6 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_ann",
     # sources
     "q_source_orc",
+    # big-big range join (binned)
+    "q_join_range_binned",
     # streaming
     "q_stream_kafka_source",
     "q_stream_tumbling",
@@ -113,9 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_approx_distinct",
     # flagship batch re-checks (green in round 1, touched this round)
     "q_sessionize_batch",
-    "q_join_multiway",
     "q_join_asof",
-    "q_agg_sum_avg",
 )
 
 

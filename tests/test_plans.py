@@ -105,7 +105,12 @@ def test_dedup_plans_never_cross_join_corpus(spark, sf_dir):
     come from equi joins on blocking keys (LSH buckets / prefix
     tokens)."""
     qs = registry.all_queries()
-    for name in ("q_dedup_embed_cosine", "q_dedup_ngram_jaccard", "q_dedup_near"):
+    for name in (
+        "q_dedup_embed_cosine",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_near",
+        "q_join_range_binned",
+    ):
         df = qs[name](spark, sf_dir)
         plan = plans.formatted_plan(df)
         assert "CartesianProduct" not in plan, name
