@@ -204,7 +204,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair with Jaccard ≥ _JACCARD_T —
     prefix-filtered exact similarity join (see q_dedup_ngram_jaccard)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    return prefix_filtered_jaccard_join(d)
+
+
+def prefix_filtered_jaccard_join(docs: DataFrame) -> DataFrame:
+    """Core prefix-filter join over any (doc_id, text) DataFrame —
+    separated from the fixture loader so property tests can drive it
+    with adversarial corpora."""
+    tok = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
     )
     words_ex = tok.select("doc_id", F.explode("words").alias("token"))
@@ -318,11 +325,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .localCheckpoint()
     )
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("cluster_id"),
+        F.when(F.col("label") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_keeper"),
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_id) × (u, v) → (doc_id, label) with label = component min —
+    the min-label-propagation core of q_dedup_clusters, reusable for any
+    node/edge set (property-tested against a Python union-find)."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     prev_sum = None
     for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
@@ -344,14 +366,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(
-        "doc_id",
-        F.col("label").cast("bigint").alias("cluster_id"),
-        F.when(F.col("label") == F.col("doc_id"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("is_keeper"),
-    )
+    return labels
 
 
 # --- SimHash --------------------------------------------------------------

@@ -258,6 +258,13 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
+    return binned_band_self_join(o)
+
+
+def binned_band_self_join(o: DataFrame) -> DataFrame:
+    """Core binned band self-join over any (o_orderkey, o_totalprice)
+    DataFrame — separated from the fixture loader so property tests can
+    drive it with adversarial values (exact-boundary deltas included)."""
     build = o.select(
         F.col("o_orderkey").alias("b_key"),
         F.col("o_totalprice").alias("b_price"),

@@ -59,7 +59,19 @@ def run_to_memory(
     trigger that still exercises the incremental/stateful machinery. The
     production analog swaps the memory sink for kafka/parquet/foreachBatch
     and AvailableNow for a processing-time trigger.
+
+    State lives in RocksDB (bundled with Spark ≥3.2): state size is
+    bounded by disk, not executor heap — the only viable provider when
+    dedup/session state reaches 100 TB-scale key counts. Set lazily so a
+    vanilla consumer session gets it too; HDFSBacked remains a one-conf
+    rollback.
     """
+    spark = stream_df.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
     q = (

@@ -6,7 +6,12 @@ composition could silently get edge cases wrong (SURVEY §7 hard parts):
   equal the obvious per-row Python definition, including tie and
   no-match cases;
 - session windows: Spark's gap-merge semantics vs a direct Python
-  gap-scan, including events exactly at the gap boundary.
+  gap-scan, including events exactly at the gap boundary;
+- prefix-filter similarity join: the lossless-blocking claim — banded
+  candidates must find EVERY jaccard ≥ t pair on adversarial corpora;
+- binned range join: bin+explode candidates must find every |Δ| ≤ band
+  pair, including exact-boundary deltas;
+- connected components: min-label propagation vs a Python union-find.
 
 Examples are kept small (Spark job per example); hypothesis explores the
 structure space (duplicates, ties, boundaries) rather than data volume.
@@ -83,6 +88,132 @@ def test_asof_join_matches_python_reference(pb_spark, events, orders):
             assert got[i] == max(cands), (i, u, m)
         else:
             assert i not in got  # inner semantics: no match → no row
+
+
+# Small shared vocabulary forces high-overlap pairs straddling the
+# jaccard threshold — the adversarial regime for prefix filtering.
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_prefix_filter_join_is_lossless(pb_spark, docs):
+    """Every pair with jaccard ≥ 0.5 must be found — the prefix-filter
+    blocking claims to be lossless, so a single missed pair on ANY
+    corpus falsifies it."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        prefix_filtered_jaccard_join,
+    )
+
+    spark = pb_spark
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_jaccard_join(df).collect()
+    }
+    sets = [set(ws) for ws in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want.add((a, b))
+    assert got == want, (sorted(want - got), sorted(got - want))
+
+
+prices_strategy = st.lists(
+    # multiples of 50 land deltas exactly ON the ±100 boundary
+    st.integers(0, 10).map(lambda k: k * 50.0),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(prices=prices_strategy)
+def test_binned_range_join_matches_bruteforce(pb_spark, prices):
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.joins import (
+        _TWIN_BAND,
+        binned_band_self_join,
+    )
+
+    spark = pb_spark
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    )
+    got = {
+        r.o_orderkey: r.n_price_twins
+        for r in binned_band_self_join(df).collect()
+    }
+    for i, p in enumerate(prices):
+        want = sum(
+            1
+            for k, q in enumerate(prices)
+            if k != i and abs(p - q) <= _TWIN_BAND
+        )
+        assert got[i] == want, (i, p)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_connected_components_match_union_find(pb_spark, edges):
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        connected_components,
+    )
+
+    spark = pb_spark
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = (
+        spark.createDataFrame(edges, "u long, v long")
+        if edges
+        else spark.createDataFrame([], "u long, v long")
+    )
+    got = {
+        r.doc_id: r.label for r in connected_components(nodes, edf).collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    for i in range(n):
+        assert got[i] == find(i), (i, edges)
 
 
 @settings(
