@@ -46,6 +46,40 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_normalize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(w, x -> len(x) > 1), ' ')
+             AS clean_text,
+           CAST(len(w) - len(list_filter(w, x -> len(x) > 1)) AS BIGINT)
+             AS n_removed
+    FROM t
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-filter normalization: drop noise tokens (here: length ≤ 1)
+    and re-join — the scrub/normalize step of a curation pipeline
+    (strip boilerplate fragments, garbage tokens, stray punctuation).
+
+    Pure JVM higher-order functions over the token array — map-only, no
+    shuffle, no Python; n_removed is the audit column a pipeline logs.
+    A swap of the filter lambda gives stopword removal or pattern
+    scrubbing with the identical plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    kept = F.filter(w, lambda x: F.length(x) > 1)
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(w) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+@query(
     "q_text_langstats",
     oracle="""
     SELECT lang,

@@ -67,10 +67,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_sql_join_having",
     "q_sql_window",
     # UDF ladder
+    # (q_udtf_explode demoted: plain `explode`, covered by q_unpivot's
+    # r01-green row and q_udtf_python's checked generator path)
     "q_udf_scalar",
     "q_udf_pandas",
     "q_udaf_grouped",
-    "q_udtf_explode",
     "q_udtf_python",
     # dedup ladder
     "q_dedup_exact",
@@ -81,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_embed_cosine",
     # text analysis
     "q_text_langid",
+    "q_text_normalize",
     "q_text_tokens",
     "q_text_langstats",
     "q_text_tfidf",
@@ -110,13 +112,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_dedup",
     "q_stream_complete_agg",
     "q_stream_static_join",
+    "q_stream_stream_join",
     "q_stream_custom_state",
     # round-1 red / rows-only rows, re-verified first
     "q_agg_collect",
     "q_agg_approx_distinct",
-    # flagship batch re-checks (green in round 1, touched this round)
+    # flagship batch re-check (green in round 1, CHANGED this round)
     "q_sessionize_batch",
-    "q_join_asof",
 )
 
 

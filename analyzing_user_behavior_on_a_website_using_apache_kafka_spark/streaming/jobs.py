@@ -217,6 +217,60 @@ def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join: click→purchase attribution — every purchase
+    matched to the same user's clicks in the preceding 30 minutes, both
+    sides live streams.
+
+    The stateful join family the reference's recompute-everything model
+    cannot express incrementally. Both sides carry watermarks and the
+    join condition includes the time-range bound, so Spark derives a
+    state-retention horizon per side: a buffered click is dropped once
+    the purchase watermark passes click_ts + 30 min — state is bounded
+    by (rate × window), NOT by stream length. Output is append (matches
+    emit exactly once); the batch oracle is the identical interval join,
+    which the single-batch AvailableNow run reproduces exactly.
+    """
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
+    return run_to_memory(joined.select("click_id", "purchase_id"), "append")
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,
