@@ -62,10 +62,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_topk_per_group",
     # set ops tail missed in round 1
     "q_except",
-    # SQL front-end
+    # SQL front-end (q_sql_window demoted: window fns covered by the
+    # checked q_win_* family; the front-end itself by the other two)
     "q_sql_report",
     "q_sql_join_having",
-    "q_sql_window",
     # UDF ladder
     # (q_udtf_explode demoted: plain `explode`, covered by q_unpivot's
     # r01-green row and q_udtf_python's checked generator path)
@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_complete_agg",
     "q_stream_static_join",
     "q_stream_stream_join",
+    "q_stream_stream_left",
     "q_stream_custom_state",
     # round-1 red / rows-only rows, re-verified first
     "q_agg_collect",

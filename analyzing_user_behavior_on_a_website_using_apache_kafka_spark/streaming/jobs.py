@@ -271,6 +271,78 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_left",
+    oracle="""
+    WITH maxs AS (
+      SELECT max(ts) FILTER (WHERE event_type = 'click') AS maxc,
+             max(ts) FILTER (WHERE event_type = 'purchase') AS maxp
+      FROM events
+    ),
+    matched AS (
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ),
+    expired AS (
+      SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM events a, maxs
+      WHERE a.event_type = 'click'
+        AND a.ts + INTERVAL 30 MINUTE
+            < least(maxs.maxc, maxs.maxp) - INTERVAL 1 HOUR
+        AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        )
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM expired
+    """,
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: clicks with no purchase within
+    30 min surface with a NULL partner — but only once the join state
+    for that click EXPIRES (the global watermark, min over both streams
+    of max-event-time − delay, passes click_ts + 30 min). Before that
+    the click might still match a future purchase, so outer results are
+    necessarily watermark-delayed — the semantics that makes streaming
+    outer joins correct, encoded verbatim in the oracle's `expired` CTE
+    (emission rule verified empirically: strictly-less-than the final
+    watermark). State bound is identical to the inner variant.
+    """
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        "leftOuter",
+    )
+    return run_to_memory(joined.select("click_id", "purchase_id"), "append")
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,

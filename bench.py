@@ -42,6 +42,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_sim_topk_bruteforce",
     "q_sim_ann",
+    "q_join_range_binned",
     "q_stream_static_join",
 ]
 
