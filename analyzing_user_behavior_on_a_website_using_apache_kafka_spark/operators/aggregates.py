@@ -121,6 +121,47 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_sketch_merge",
+    oracle="""
+    SELECT event_type, CAST(1 AS INT) AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch workflow (Apache DataSketches HLL, Spark ≥3.5):
+    build per-(day, type) sketches, then UNION the sketches per type —
+    the incremental pattern for distinct counts at 100 TB: each
+    partition/day aggregates once, and any rollup (weekly, all-time,
+    cross-region) is a cheap sketch merge instead of a re-scan of raw
+    data. Verified via the same within-5%-of-exact invariant as
+    q_agg_approx_distinct: the merged estimate must match the exact
+    all-time distinct per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.when(
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 0.05 * F.col("exact"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("within_tol"),
+    )
+
+
+@query(
     "q_agg_having",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -69,13 +69,22 @@ def test_report_stream_incremental(spark, histograms, sf_dir, tmp_path):
         msg_dir
     )
     captured: list = []
-    q = report.run_report_stream(
-        stream, lambda model, epoch: captured.append(model), available_now=True
-    )
+    svg_path = str(tmp_path / "raport.svg")
+    svg_write = report.svg_sink(svg_path)
+
+    def sink(model, epoch):
+        captured.append(model)
+        svg_write(model, epoch)
+
+    q = report.run_report_stream(stream, sink, available_now=True)
     q.awaitTermination(120)
     assert captured, "sink never invoked"
     batch_model = report.report_model(histograms)
     assert captured[-1] == batch_model
+    # the artifact on disk is the render of the final epoch's model —
+    # the full reference loop (stream → model → raport file) end-to-end
+    with open(svg_path, encoding="utf-8") as fh:
+        assert fh.read() == report.render_svg(batch_model)
 
 
 def test_render_svg_matches_golden(histograms):
