@@ -162,6 +162,57 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_approx_quantile",
+    oracle="""
+    SELECT o_orderpriority, CAST(1 AS INT) AS rank_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median via Spark's quantile sketch
+    (approx_percentile, Greenwald-Khanna) — the single-pass,
+    fixed-memory, mergeable path for percentiles at 100 TB (exact
+    per-group quantiles need the whole group materialized,
+    q_agg_percentile / q_udaf_grouped).
+
+    Sketch estimates are engine-specific, so the check is in RANK
+    space, which is what the sketch actually guarantees: the returned
+    value's true rank within its group must lie within ±2% of the
+    median (accuracy 10000 ⇒ ε = 1e-4; 2% is generous). The oracle is
+    `SELECT key, 1`.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    apx = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+        ).alias("apx_median")
+    )
+    ranked = o.join(F.broadcast(apx), "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") <= F.col("apx_median"), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("cdf_at_apx")
+    )
+    return ranked.select(
+        "o_orderpriority",
+        F.when(
+            (F.col("cdf_at_apx") >= 0.48) & (F.col("cdf_at_apx") <= 0.52),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("rank_ok"),
+    )
+
+
+@query(
     "q_agg_having",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
