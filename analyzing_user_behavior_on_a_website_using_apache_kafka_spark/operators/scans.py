@@ -146,6 +146,75 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_upsert",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 1 AND n_nationkey % 2 = 0
+                THEN upper(n_name) ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 777 AS n_nationkey, 'NEWLAND' AS n_name, 1 AS n_regionkey
+    """,
+)
+def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert (MERGE without a lakehouse format):
+    dynamic partition overwrite rewrites ONLY the partitions an update
+    batch touches — updates region 1's names and inserts one new row,
+    leaving the other 4 region partitions' files untouched.
+
+    The pattern: upserted-partition contents = changes ∪ (existing rows
+    not superseded), written with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` so unchanged
+    partitions never rewrite. At 100 TB with dt-partitioned logs this is
+    the difference between rewriting one day and rewriting the table;
+    row-level MERGE needs a table format (Delta/Iceberg) and is out of
+    scope for a plain-parquet engine.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "aub_sink_upsert", os.path.basename(sf_dir)
+    )
+    # pin integer widths up front: the fixture stores int32 keys, the
+    # inserted literal is int64 — mixed widths across parquet files in
+    # one partition break the read-back
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(out)
+    changes = nation.filter(
+        (F.col("n_regionkey") == 1) & (F.col("n_nationkey") % 2 == 0)
+    ).select(
+        "n_nationkey", F.upper("n_name").alias("n_name"), "n_regionkey"
+    ).unionByName(
+        spark.createDataFrame(
+            [(777, "NEWLAND", 1)],
+            "n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+    )
+    existing = spark.read.parquet(out).filter(F.col("n_regionkey") == 1)
+    keep = existing.join(
+        changes.select("n_nationkey"), "n_nationkey", "left_anti"
+    ).select("n_nationkey", "n_name", "n_regionkey")
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        changes.unionByName(keep).write.mode("overwrite").partitionBy(
+            "n_regionkey"
+        ).parquet(out)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    return spark.read.parquet(out).select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("bigint")
+    )
+
+
+@query(
     "q_sink_partitioned",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
