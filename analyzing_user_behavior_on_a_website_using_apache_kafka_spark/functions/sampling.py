@@ -1,0 +1,91 @@
+"""Reproducible sampling / dataset splitting over `documents`.
+
+LLM-data-pipeline staples: subsample a corpus, carve train/val/test.
+Both are DETERMINISTIC HASH decisions, not RNG draws: bucket =
+first-32-bits-of-md5(content) mod 100. That is the only approach that
+survives scale — the decision is a pure per-row map (no state, no seed
+coordination across executors, no shuffle), re-runs and backfills
+assign every document identically, and adding data never reassigns
+existing rows (RNG-based `df.sample` re-draws under retries,
+repartitioning, or partial re-reads).
+
+Hashing the CONTENT (not doc_id) also makes the split stable across
+re-ingestion that renumbers ids — and exact-duplicate texts land in the
+same split, so train/test leakage from duplicates is structurally
+impossible. Both engines compute the identical bucket (md5 is md5), so
+the oracles are EXACT, not tolerance invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_SAMPLE_PCT = 20  # q_sample_hash keeps buckets 0..19
+_TRAIN_PCT = 80  # q_split_train_test: <80 train, <90 validation, rest test
+_VAL_PCT = 90
+
+
+def hash_bucket(col: Column) -> Column:
+    """Deterministic bucket in [0, 100): first 8 md5 hex chars → int."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % 100
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+      FROM documents
+    )
+    WHERE b < {_SAMPLE_PCT}
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible {_SAMPLE_PCT}%-ish corpus subsample by content hash.
+
+    Map-only: the predicate pushes to the scan; no RNG, no shuffle,
+    identical membership on every run and every engine (exact oracle).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(hash_bucket(F.col("text")) < _SAMPLE_PCT).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "q_split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN b < {_TRAIN_PCT} THEN 'train'
+                WHEN b < {_VAL_PCT} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment (80/10/10) by
+    content hash — duplicate texts share a split by construction, so
+    exact-dup leakage across splits cannot happen. The split column is
+    what a pipeline would write as a partition key so each consumer
+    reads only its split's files (partition pruning)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(b < _TRAIN_PCT, "train")
+        .when(b < _VAL_PCT, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )

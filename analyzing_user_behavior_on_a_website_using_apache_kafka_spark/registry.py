@@ -165,6 +165,7 @@ def _ensure_loaded() -> None:
         dedup,
         langid,
         multimodal,
+        sampling,
         similarity,
         text,
     )
