@@ -242,6 +242,97 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_W = 5  # rolling window width (tokens) — shared with q_text_rollhash
+_CHUNK_D = 8  # boundary density: ~1 boundary per 8 tokens
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i,
+             CASE WHEN i <= len(words) - {_SHINGLE_W} + 1
+                   AND CAST(('0x' || substr(md5(array_to_string(
+                         list_slice(words, i, i + {_SHINGLE_W} - 1), ' ')),
+                         1, 8)) AS UBIGINT) % {_CHUNK_D} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM t, unnest(generate_series(1, len(words))) AS u(i)
+    ),
+    ch AS (
+      SELECT doc_id, i,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_no
+      FROM tok
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM ch GROUP BY doc_id, chunk_no
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a token starts a new chunk when its
+    {_SHINGLE_W}-token shingle's hash lands in bucket 0 of {_CHUNK_D}
+    (expected chunk length ≈ {_CHUNK_D} tokens). Boundaries depend only
+    on LOCAL content, so an insertion early in a document shifts at
+    most one chunk — downstream chunk-level dedup/fingerprints stay
+    stable (the rsync/CDC/LLM-dedup segmentation trick). Fixed-width
+    splitting re-chunks everything after any edit.
+
+    Plan: posexplode tokens (map-side), boundary flag from the same
+    md5 shingle both engines compute, running-sum window per doc_id
+    (partitioned), one aggregate. One shuffle on doc_id total.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = d.select("doc_id", words.alias("words"))
+    tok = base.select(
+        "doc_id",
+        F.size("words").alias("n"),
+        "words",
+        F.posexplode("words").alias("pos", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.when(
+            (F.col("pos") + 1 <= F.col("n") - _SHINGLE_W + 1)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.slice(
+                                    F.col("words"),
+                                    F.col("pos") + 1,
+                                    _SHINGLE_W,
+                                ),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _CHUNK_D
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ch = tok.withColumn("chunk_no", F.sum("boundary").over(w))
+    return ch.groupBy(
+        "doc_id", F.col("chunk_no").cast("bigint").alias("chunk_no")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
 @query(
     "q_pipeline_curate",
     oracle="""
@@ -300,9 +391,6 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("diversity"), 6).alias("avg_diversity"),
     )
-
-
-_SHINGLE_W = 5  # rolling window width (tokens)
 
 
 @query(
