@@ -61,6 +61,39 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_mixture",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+      FROM documents
+    )
+    WHERE b < CASE WHEN source = 'src0' THEN 100
+                   WHEN source = 'src1' THEN 50
+                   ELSE 10 END
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture sampling: each source kept at its own rate
+    (src0 fully, src1 at 50%, the long tail at 10%) — how a training
+    corpus up-weights curated sources and down-weights bulk crawl.
+    Same content-hash buckets as q_sample_hash, so the mixture is
+    reproducible, map-only, and (because lower buckets nest) a rate
+    INCREASE only ADDS documents — previous members never churn out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", 100)
+        .when(F.col("source") == "src1", 50)
+        .otherwise(10)
+    )
+    return d.filter(hash_bucket(F.col("text")) < rate).select(
+        "doc_id", "source"
+    )
+
+
+@query(
     "q_split_train_test",
     oracle=f"""
     SELECT doc_id,
