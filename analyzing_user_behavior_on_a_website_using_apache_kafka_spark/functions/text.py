@@ -284,9 +284,15 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 shingle both engines compute, running-sum window per doc_id
     (partitioned), one aggregate. One shuffle on doc_id total.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_tokens(docs: DataFrame) -> DataFrame:
+    """Content-defined chunker over any (doc_id, text) DataFrame —
+    separated from the fixture loader so tests can assert the
+    edit-stability property directly."""
     words = F.split("text", " ")
-    base = d.select("doc_id", words.alias("words"))
+    base = docs.select("doc_id", words.alias("words"))
     tok = base.select(
         "doc_id",
         F.size("words").alias("n"),

@@ -128,6 +128,39 @@ def test_dedup_clusters_are_transitive_and_keepered(spark, sf_dir):
         assert c == min(ds)  # keeper is the component minimum
 
 
+def test_chunking_is_edit_stable(spark, sf_dir):
+    """The point of content-defined chunking: replacing a document's
+    TAIL must not move any boundary that ends more than one shingle
+    before the edit — chunks of the shared prefix are identical."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.text import (
+        _SHINGLE_W,
+        chunk_tokens,
+    )
+
+    base_words = [f"w{i % 13}x{i % 7}" for i in range(60)]
+    edited = base_words[:40] + [f"z{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    rows = chunk_tokens(df).collect()
+    chunks = {1: {}, 2: {}}
+    for r in rows:
+        chunks[r.doc_id][r.chunk_no] = r.n_tokens
+    # boundaries at token i depend on words[i .. i+W-1]; positions
+    # ≤ 40 − W have identical shingles in both docs, so every chunk
+    # fully inside the shared prefix matches exactly
+    shared, acc = [], 0
+    for cn in sorted(chunks[1]):
+        acc += chunks[1][cn]
+        if acc > 40 - _SHINGLE_W:
+            break
+        shared.append(cn)
+    assert shared, "fixture produced no prefix-complete chunk"
+    for cn in shared:
+        assert chunks[1][cn] == chunks[2][cn], (cn, chunks)
+
+
 def test_multimodal_plumbing_deterministic(spark, sf_dir):
     df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
     out1 = {
