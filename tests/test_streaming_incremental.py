@@ -137,6 +137,78 @@ def test_restart_from_checkpoint_resumes_not_rescans(
     assert rows_read == n_new, (rows_read, n_new)
 
 
+def test_stream_stream_join_state_spans_batches(spark, sf_dir, tmp_path):
+    """All clicks arrive in micro-batch 1, all purchases in micro-batch
+    2 — every match must therefore cross the batch boundary through the
+    join state store. Final output equals the batch interval join."""
+    src = str(tmp_path / "ss_log")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+
+    def side(t, pref):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .filter(F.col("event_type") == t)
+            .select(
+                F.col("event_id").alias(f"{pref}_id"),
+                F.col("user_id").alias(f"{pref}_user"),
+                F.col("ts").alias(f"{pref}_ts"),
+            )
+            .withWatermark(f"{pref}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:10]}"
+    q = (
+        joined.select("c_id", "p_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join("/tmp/aub_ckpt", name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.c_id, r.p_id) for r in spark.table(name).collect()}
+    a, b = ev.alias("a"), ev.alias("b")
+    want = {
+        (r.c, r.p)
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") == "click")
+            & (F.col("b.event_type") == "purchase")
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (
+                F.col("b.ts")
+                <= F.col("a.ts") + F.expr("interval 30 minutes")
+            ),
+        )
+        .select(
+            F.col("a.event_id").alias("c"), F.col("b.event_id").alias("p")
+        )
+        .collect()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
 def test_streaming_dedup_across_batches(spark, sf_dir, split_log):
     out = _run_incremental(
         spark,
