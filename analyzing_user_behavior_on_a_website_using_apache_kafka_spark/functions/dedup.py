@@ -267,7 +267,7 @@ def prefix_filtered_jaccard_join(docs: DataFrame) -> DataFrame:
 
 # --- Duplicate-cluster resolution (connected components) ------------------
 
-_CC_MAX_ITERS = 25
+_CC_MAX_ITERS = 50  # rounds = graph diameter; loud failure if exceeded
 
 
 @query(
@@ -346,6 +346,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     prev_sum = None
+    converged = False
     for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
             sym.join(labels, sym.u == labels.doc_id)
@@ -364,8 +365,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent fall-through would return WRONG labels (a component
+        # whose diameter exceeds the round budget still holds several
+        # provisional minima) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{_CC_MAX_ITERS} rounds (graph diameter too large); "
+            "switch to small-star/large-star for this graph"
+        )
     return labels
 
 
@@ -533,7 +544,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bucketed = bucketed_all_tables(v, dim).drop("emb")
+    bucketed = bucketed_all_tables(v).drop("emb")
     # candidate pairs: co-bucketed in ≥1 table, generated once (a < b)
     # then symmetrized so both endpoints see the pair
     half = (

@@ -207,7 +207,7 @@ def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     return pd.Series(list(packed.astype(np.int32)))
 
 
-def bucketed_all_tables(v: DataFrame, dim: int) -> DataFrame:
+def bucketed_all_tables(v: DataFrame) -> DataFrame:
     """(vec_id, emb) → (vec_id, emb, tbl, bucket) for ALL LSH tables in
     ONE corpus pass.
 
@@ -216,7 +216,8 @@ def bucketed_all_tables(v: DataFrame, dim: int) -> DataFrame:
     versus a per-table union, which re-scans (and re-computes the
     bucket expressions over) the corpus _N_TABLES times. Output volume
     is identical (n × _N_TABLES rows); input volume drops 16× and the
-    projection math runs vectorized.
+    projection math runs vectorized. Dimensionality is inferred from
+    the data (the coefficient matrix is built per observed dim).
     """
     from ..serialization import pickle_module_by_value
 
@@ -322,7 +323,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bucketed = bucketed_all_tables(v, dim)
+    bucketed = bucketed_all_tables(v)
     probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("probe_emb"),

@@ -150,7 +150,9 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udtf_python",
     oracle="""
     WITH t AS (
-      SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+      SELECT p_partkey,
+             list_filter(string_split(p_name, ' '), x -> len(x) > 0) AS w
+      FROM part
     )
     SELECT p_partkey,
            unnest(list_transform(generate_series(1, len(w) - 1),
@@ -172,6 +174,8 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import register_views
 
+    # empty tokens (doubled/leading spaces) are dropped on BOTH engines:
+    # here via the `if w` guard, in the oracle via list_filter(len > 0)
     @udtf(returnType="p_partkey bigint, bigram string")
     class Bigrams:
         def eval(self, p_partkey: int, name: str):  # noqa: ANN001

@@ -86,11 +86,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_text_langstats",
     "q_text_tfidf",
+    # (q_text_fingerprint / q_text_token_bpe / q_text_rollhash demoted:
+    # the text family keeps 7 in-window representatives; the slots fund
+    # the otherwise-unrepresented sampling/sink families)
     "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_token_bpe",
-    "q_text_rollhash",
     "q_pipeline_curate",
+    # sampling & upsert sink (new families this round)
+    "q_sample_hash",
+    "q_split_train_test",
+    "q_sink_upsert",
     # multimodal plumbing
     "q_multimodal_cols",
     "q_multimodal_features",

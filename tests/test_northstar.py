@@ -223,7 +223,7 @@ def test_lsh_bucket_udf_matches_expression_path(spark, sf_dir):
     )
     via_udf = {
         (r.vec_id, r.tbl): r.bucket
-        for r in bucketed_all_tables(v, 64).collect()
+        for r in bucketed_all_tables(v).collect()
     }
     for t in range(0, _N_TABLES, 5):  # spot-check a third of the tables
         via_expr = {

@@ -216,6 +216,28 @@ def test_connected_components_match_union_find(pb_spark, edges):
         assert got[i] == find(i), (i, edges)
 
 
+def test_connected_components_high_diameter_path(pb_spark):
+    """A 30-node path graph has diameter 29 — min-label propagation
+    needs ~29 rounds, the worst case the random-edge strategy above
+    never generates. Guards the convergence-budget path (which now
+    raises loudly rather than returning partial labels)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        connected_components,
+    )
+
+    spark = pb_spark
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    got = {
+        r.doc_id: r.label
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 @settings(
     max_examples=12,
     deadline=None,

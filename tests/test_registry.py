@@ -29,6 +29,8 @@ FAMILIES = (
     "q_agg_",
     "q_join_",
     "q_source_",
+    "q_sample_",
+    "q_sink_",
 )
 
 
