@@ -131,6 +131,74 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udf_cogroup",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id AS custkey, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.custkey, e.custkey) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.total_spend, 0.0) AS total_spend,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas: orders AND events for the same customer
+    arrive as two pandas frames in one Python call — the escape hatch
+    for per-entity logic that needs BOTH sides materialized (interleaved
+    sequence alignment, per-entity reconciliation). Here the merge is a
+    simple profile (counts + spend) so a SQL full-outer-join oracle can
+    hash-check the plumbing: group alignment, empty-side handling
+    (either frame can be empty for a key), and one-shuffle-per-side
+    co-partitioning.
+    """
+
+    def profile(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(orders_pdf)],
+                "total_spend": [
+                    float(orders_pdf["o_totalprice"].sum())
+                    if len(orders_pdf)
+                    else 0.0
+                ],
+                "n_events": [len(events_pdf)],
+            }
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey")
+    )
+    raw = (
+        orders.groupBy("custkey")
+        .cogroup(events.groupBy("custkey"))
+        .applyInPandas(
+            profile,
+            schema="custkey bigint, n_orders bigint, "
+            "total_spend double, n_events bigint",
+        )
+    )
+    # round JVM-side so SQL ROUND semantics apply on both engines
+    return raw.select(
+        "custkey",
+        "n_orders",
+        F.round("total_spend", 2).alias("total_spend"),
+        "n_events",
+    )
+
+
+@query(
     "q_udtf_explode",
     oracle="""
     SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
