@@ -225,6 +225,53 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_discount), 6) AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           CAST(arg_max(l_orderkey,
+                        CAST(l_extendedprice * 100 AS BIGINT) * 10000000
+                        + l_orderkey) AS BIGINT) AS top_price_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance, and arg-max (max_by) per group — the profile/feature
+    stats of a data-quality pass, all single-shuffle JVM aggregates.
+
+    max_by is keyed on a composite (price-in-cents, orderkey) encoded
+    as one BIGINT: price ties between orders would otherwise make the
+    winning orderkey partition-order-dependent and never
+    oracle-comparable. Moments (stddev/corr) round at 4-6 digits —
+    one-pass co-moment accumulation differs across engines only at
+    ~1e-10 relative error.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    composite = (
+        (F.col("l_extendedprice") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("l_orderkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.max_by("l_orderkey", composite)
+        .cast("bigint")
+        .alias("top_price_orderkey"),
+    )
+
+
+@query(
     "q_agg_having",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -52,6 +52,41 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER w AS latest_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an EXPLICIT growing
+    frame: per event, the user's first-ever, latest-so-far, and second
+    event types. The frame matters — last_value over the DEFAULT frame
+    (range-to-current-row) silently equals the current row, the classic
+    window-frame trap; pinning ROWS UNBOUNDED PRECEDING..CURRENT ROW
+    makes 'latest so far' explicit and identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@query(
     "q_win_lag_lead",
     oracle="""
     SELECT user_id, event_id, event_type,
