@@ -233,8 +233,9 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
            CAST(arg_max(l_orderkey,
-                        CAST(l_extendedprice * 100 AS BIGINT) * 10000000
-                        + l_orderkey) AS BIGINT) AS top_price_orderkey
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * 10000000000 + l_orderkey) AS BIGINT)
+             AS top_price_orderkey
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -247,13 +248,19 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by is keyed on a composite (price-in-cents, orderkey) encoded
     as one BIGINT: price ties between orders would otherwise make the
     winning orderkey partition-order-dependent and never
-    oracle-comparable. Moments (stddev/corr) round at 4-6 digits —
-    one-pass co-moment accumulation differs across engines only at
-    ~1e-10 relative error.
+    oracle-comparable. Cents are ``round(price*100)`` on BOTH engines —
+    a bare int cast truncates in Spark but rounds in DuckDB (0.29*100 →
+    28 vs 29), which would let the engines pick different winners when a
+    group's top two prices are a cent apart. The 1e10 multiplier keeps
+    the cents field dominant for any l_orderkey < 10^10 (holds through
+    sf1000; cents < 1.1e7 so the product stays under int64 max).
+    Moments (stddev/corr) round at 4-6 digits — one-pass co-moment
+    accumulation differs across engines only at ~1e-10 relative error.
     """
     li = load_table(spark, sf_dir, "lineitem")
     composite = (
-        (F.col("l_extendedprice") * 100).cast("bigint") * F.lit(10000000)
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.lit(10000000000)
         + F.col("l_orderkey")
     )
     return li.groupBy("l_returnflag").agg(

@@ -171,9 +171,9 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level MERGE needs a table format (Delta/Iceberg) and is out of
     scope for a plain-parquet engine.
     """
-    out = os.path.join(
-        tempfile.gettempdir(), "aub_sink_upsert", os.path.basename(sf_dir)
-    )
+    # per-run directory: a fixed path shared across concurrent runs
+    # would let one run's overwrite commit race another's read-back
+    out = tempfile.mkdtemp(prefix="aub_sink_upsert_")
     # pin integer widths up front: the fixture stores int32 keys, the
     # inserted literal is int64 — mixed widths across parquet files in
     # one partition break the read-back
@@ -194,9 +194,13 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     existing = spark.read.parquet(out).filter(F.col("n_regionkey") == 1)
+    # materialize BEFORE the overwrite action: `keep` reads the same
+    # path the write below replaces, so a lazy plan could re-scan
+    # post-commit files under task retry / AQE re-execution and corrupt
+    # the result. localCheckpoint pins the pre-overwrite rows.
     keep = existing.join(
         changes.select("n_nationkey"), "n_nationkey", "left_anti"
-    ).select("n_nationkey", "n_name", "n_regionkey")
+    ).select("n_nationkey", "n_name", "n_regionkey").localCheckpoint()
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )

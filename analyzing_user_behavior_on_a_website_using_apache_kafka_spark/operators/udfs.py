@@ -89,25 +89,33 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_udaf_grouped",
     oracle="""
-    SELECT event_type,
+    SELECT user_id,
            ROUND(median(value), 6) AS med_value,
            ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM events
-    GROUP BY event_type
+    GROUP BY user_id
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped custom aggregation via ``applyInPandas``: exact median and
-    p90 per event type (NumPy linear interpolation == DuckDB
+    p90 of event value per user (NumPy linear interpolation == DuckDB
     ``quantile_cont``). Shuffles once on the group key; each group
-    materializes as one pandas DataFrame in an executor."""
+    materializes as one pandas DataFrame in an executor.
+
+    The group key is deliberately HIGH-cardinality (user_id), so each
+    pandas frame holds one user's events — bounded by per-entity
+    activity, not by corpus size. Keying a 100 TB corpus on a 5-value
+    column (event_type) would put ~1/5 of all rows in a single frame
+    and OOM the executor; low-cardinality exact quantiles belong to a
+    two-level reduction or approx_percentile instead.
+    """
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         return pd.DataFrame(
             {
-                "event_type": [pdf["event_type"].iloc[0]],
+                "user_id": [pdf["user_id"].iloc[0]],
                 "med_value": [float(v.quantile(0.5))],
                 "p90_value": [float(v.quantile(0.9))],
                 "cnt": [len(pdf)],
@@ -115,15 +123,15 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = load_table(spark, sf_dir, "events")
-    schema = "event_type string, med_value double, p90_value double, cnt bigint"
+    schema = "user_id bigint, med_value double, p90_value double, cnt bigint"
     raw = (
-        ev.select("event_type", "value")
-        .groupBy("event_type")
+        ev.select("user_id", "value")
+        .groupBy("user_id")
         .applyInPandas(stats, schema=schema)
     )
     # round JVM-side so SQL ROUND semantics apply on both engines
     return raw.select(
-        "event_type",
+        "user_id",
         F.round("med_value", 6).alias("med_value"),
         F.round("p90_value", 6).alias("p90_value"),
         "cnt",
@@ -135,7 +143,8 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS total_spend
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,6)), 2)
+                  AS DOUBLE) AS total_spend
       FROM orders GROUP BY o_custkey
     ),
     e AS (
@@ -189,11 +198,18 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spend double, n_events bigint",
         )
     )
-    # round JVM-side so SQL ROUND semantics apply on both engines
+    # Round through DECIMAL(38,6) on BOTH engines (repo convention for
+    # oracle-compared doubles): pandas .sum() is pairwise, DuckDB SUM is
+    # sequential, so the doubles can differ in the last bits and a
+    # double-only ROUND(...,2) then diverges at the .005 boundary. The
+    # exact sum has 2 decimal digits, so the double→DECIMAL(38,6) cast
+    # is unambiguous and both engines apply identical HALF_UP rounding.
     return raw.select(
         "custkey",
         "n_orders",
-        F.round("total_spend", 2).alias("total_spend"),
+        F.round(F.col("total_spend").cast(T.DecimalType(38, 6)), 2)
+        .cast("double")
+        .alias("total_spend"),
         "n_events",
     )
 

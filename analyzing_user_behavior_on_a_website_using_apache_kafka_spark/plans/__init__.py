@@ -14,6 +14,7 @@ from .inspect import (  # noqa: F401
     pushed_filters,
     read_schema_columns,
     unpartitioned_window_count,
+    unreduced_fact_broadcast_hints,
     uses_operator,
     wholestage_codegen_spans,
 )

@@ -97,6 +97,65 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return bad
 
 
+# First column of every table whose row count scales with the data.
+# nation (25) / region (5) are constant at any sf and excluded.
+_FACT_SIGNATURE_COLS = (
+    "l_orderkey#",  # lineitem
+    "o_orderkey#",  # orders
+    "c_custkey#",  # customer
+    "p_partkey#",  # part
+    "s_suppkey#",  # supplier
+    "event_id#",  # events
+    "doc_id#",  # documents
+    "vec_id#",  # embeddings
+)
+
+# Logical nodes that reduce a fact-scaled input to a bounded (O(groups),
+# O(limit), O(distinct keys)) build side, making a broadcast hint safe.
+_REDUCING_NODES = ("Aggregate ", "GlobalLimit ", "Deduplicate ")
+
+
+def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
+    """Broadcast-hint subtrees that scan a fact-SCALED table with no
+    cardinality-reducing node (Aggregate/Limit/Deduplicate) in between.
+
+    A forced ``F.broadcast`` over a table that grows with the data
+    (customer is ~150 M rows at sf1000) OOMs every executor at scale no
+    matter what the optimizer thinks — only hints over constant-size
+    dims (nation, region, literal tables) or reduced derivations
+    (aggregates, limits) are scale-safe. Returns the offending hint
+    subtree headers; empty list = clean. Inspects the ANALYZED logical
+    plan, where ``ResolvedHint`` is still an explicit node (the
+    optimizer folds it into join-node hints later).
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+
+    def _indent(raw: str) -> int:
+        return len(raw) - len(raw.lstrip(" +-:"))
+
+    offending: list[str] = []
+    for i, raw in enumerate(lines):
+        s = raw.strip().lstrip("+-: ").strip()
+        if not s.startswith("ResolvedHint"):
+            continue
+        my_indent = _indent(raw)
+        subtree: list[str] = []
+        for below in lines[i + 1 :]:
+            if below.strip() and _indent(below) <= my_indent:
+                break
+            subtree.append(below.strip().lstrip("+-: ").strip())
+        has_fact = any(
+            sig in node for node in subtree for sig in _FACT_SIGNATURE_COLS
+        )
+        has_reducer = any(
+            node.startswith(red) for node in subtree for red in _REDUCING_NODES
+        )
+        if has_fact and not has_reducer:
+            offending.append(s)
+    return offending
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions — wider/fewer is better.
 

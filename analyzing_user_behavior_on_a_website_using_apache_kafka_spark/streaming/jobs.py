@@ -187,7 +187,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state forever, the unbounded-state trap at scale. Duplicates are
     suppressed as long as they arrive within the 1 h watermark delay of
     the first sighting (the delivery-retry window of a real feed); emits
-    on first sight → append output equals batch DISTINCT."""
+    on first sight → append output equals batch DISTINCT.
+
+    Oracle-validity assumption (pinned by tests/test_streaming_incremental
+    .py::test_dedup_fixture_duplicates_within_watermark_delay):
+    every duplicate event_id in the fixture arrives within 1 h of event
+    time of its first sighting. A duplicate landing after state eviction
+    would legitimately re-emit its event_id and diverge from the batch
+    DISTINCT oracle — that is correct streaming semantics, not a bug,
+    so the fixture shape is asserted rather than assumed."""
     ev = stream_table(spark, sf_dir, "events")
     deduped = (
         ev.withWatermark("ts", "1 hour")
@@ -357,16 +365,18 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension, rolled up per (market segment, event type) —
     the reference's per-dimension report (``Raport.py:41-88``, R12/R24)
     with the dimension coming from a TABLE instead of being denormalized
-    into every Kafka message. The static side is explicitly broadcast:
-    each micro-batch joins map-side with zero shuffle of the stream, and
-    the dimension is re-read per trigger so slowly-changing updates are
+    into every Kafka message. The static side is projected to the two
+    columns the join needs, but NOT broadcast-hinted: customer scales
+    with the fact data (~150 M rows at sf1000), so a forced broadcast
+    OOMs every executor at scale — autoBroadcastJoinThreshold / AQE
+    decides per run, broadcasting only while the projected dim actually
+    fits and degrading to a shuffled hash join when it doesn't. The
+    dimension is re-read per trigger so slowly-changing updates are
     picked up for free. State is the (segment, type) count grid —
     bounded regardless of stream length."""
     ev = stream_table(spark, sf_dir, "events")
-    dim = F.broadcast(
-        load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
     )
     joined = ev.join(dim, ev.user_id == dim.c_custkey, "inner")
     agg = joined.groupBy("c_mktsegment", "event_type").agg(

@@ -152,3 +152,47 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan, plan
     start = plan.index("PartitionFilters")
     assert "event_type" in plan[start : start + 200], plan[start : start + 200]
+
+
+def test_no_fact_scaled_table_is_broadcast_hinted(spark, sf_dir):
+    """No registered batch query may force-broadcast a table whose size
+    scales with the data (customer/orders/lineitem/part/supplier/events/
+    documents/embeddings) without first reducing it through an
+    Aggregate/Limit/Deduplicate. A hint overrides the size threshold AND
+    AQE, so a fact-scaled build side that fits at sf0.1 OOMs every
+    executor at sf100 — the round-2 q_stream_static_join bug class.
+    Constant-size dims (nation=25 rows, region=5, literal tables) and
+    reduced derivations stay hintable.
+
+    Allowlist: the similarity family broadcasts the PROBE set — a
+    `vec_id < N_PROBES` (=5 rows at any sf) filter of embeddings. The
+    bound is a constant predicate, which the structural walk cannot
+    distinguish from a scaling filter, so these three are exempted by
+    name with the bound stated."""
+    probe_set_bounded = {"q_sim_topk_bruteforce", "q_sim_ivf", "q_sim_ann"}
+    qs = registry.all_queries()
+    for name, fn in qs.items():
+        if name.startswith("q_stream_"):
+            continue  # streaming plans resolve at run time (source check below)
+        if name in probe_set_bounded:
+            continue
+        df = fn(spark, sf_dir)
+        bad = plans.unreduced_fact_broadcast_hints(df)
+        assert not bad, f"{name}: {bad}"
+
+
+def test_streaming_jobs_source_has_no_broadcast_hint():
+    """Streaming query plans only resolve at run time, so the batch
+    plan walk above cannot see them — assert at source level that no
+    streaming job forces a broadcast (the static dims they join are
+    threshold/AQE-decided instead)."""
+    import inspect as _inspect
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming import (
+        jobs,
+        stateful,
+    )
+
+    for mod in (jobs, stateful):
+        src = _inspect.getsource(mod)
+        assert "F.broadcast(" not in src, mod.__name__

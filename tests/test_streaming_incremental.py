@@ -223,3 +223,27 @@ def test_streaming_dedup_across_batches(spark, sf_dir, split_log):
         load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     )
     assert n_stream == n_batch
+
+
+def test_dedup_fixture_duplicates_within_watermark_delay(spark, sf_dir):
+    """Pins the fixture shape q_stream_dedup's batch-DISTINCT oracle
+    relies on: every duplicate event_id arrives within 1 h of event time
+    of its first sighting. dropDuplicatesWithinWatermark evicts a key's
+    state once the watermark passes first_ts + delay; a duplicate after
+    that re-emits (correct streaming semantics) and the DISTINCT oracle
+    would go red. If the fixture ever changes shape, this fails loudly
+    instead of the driver row."""
+    span = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("span_s"),
+        )
+        .filter(F.col("n") > 1)
+        .agg(F.max("span_s").alias("max_span"))
+        .collect()[0]
+    )
+    assert span.max_span is None or span.max_span < 3600, span.max_span
