@@ -103,27 +103,36 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *sig_cols)
 
 
-@query("q_dedup_near")  # rows-only: LSH candidate sets are engine-specific
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash banding.
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a, doc_b, est_jaccard) via
+    MinHash banding — the raw LSH operator.
 
     Signatures → band keys (hash of 4 consecutive minhashes) → self-join
     per band bucket → distinct candidate pairs with estimated jaccard
     (fraction of agreeing minhashes). The corpus is never cross-joined:
     only docs sharing a band bucket meet, so the join is an equi hash
     join on (band_id, band_key) that scales linearly with collisions.
+
+    Shuffle discipline: the banded table carries ONLY (band_id,
+    band_key, doc_id) — 24 B per doc per band — through the 8× union
+    and self-join; the 32-element signature arrays (~2 KB/doc) are
+    re-attached to the SURVIVING candidate pairs afterwards via two
+    doc_id equi-joins, the same slim-then-rejoin pattern as
+    prefix_filtered_jaccard_join's verification step.
     """
     sigs = minhash_signatures(spark, sf_dir)
     rows_per_band = _N_HASHES // _N_BANDS
     bands = []
     for band in range(_N_BANDS):
-        cols = [f"mh_{i}" for i in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        cols = [
+            f"mh_{i}"
+            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
         bands.append(
             sigs.select(
                 "doc_id",
                 F.lit(band).alias("band_id"),
                 F.xxhash64(*cols).alias("band_key"),
-                F.array(*[F.col(c) for c in [f"mh_{i}" for i in range(_N_HASHES)]]).alias("sig"),
             )
         )
     banded = bands[0]
@@ -141,10 +150,23 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig = sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(_N_HASHES)]).alias("sig"),
+    )
+    with_sigs = pairs.join(
+        sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+        ),
+        "doc_a",
+    ).join(
+        sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+        ),
+        "doc_b",
     )
     est = F.size(
         F.filter(
@@ -152,8 +174,60 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda eq: eq,
         )
     ).cast("double") / F.lit(float(_N_HASHES))
-    return pairs.select(
+    return with_sigs.select(
         "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+_NEAR_CERTAIN_T = 0.95  # banding theory: P(miss) = (1−0.95⁴)⁸ ≈ 1.4e-6
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.words, b.words))), 6)
+             AS jaccard,
+           TRUE AS in_lsh
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.words, b.words)))
+          >= {_NEAR_CERTAIN_T}
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, driver-checked via its recall
+    invariant: every pair with TRUE token-set jaccard ≥ 0.95 must appear
+    in the LSH candidate set (banding theory puts the miss probability
+    at (1−j⁴)⁸ ≈ 1.4e-6 per pair at j=0.95 — far below one expected
+    miss on any fixture).
+
+    The raw candidate SET (``minhash_lsh_pairs``) is engine-specific —
+    its xxhash64-seeded signatures have no ANSI-SQL twin — so the
+    registered query emits the SQL-expressible one-sided invariant
+    instead: exact-jaccard ≥ 0.95 pairs (prefix-filtered join, itself
+    oracle-checked under q_dedup_ngram_jaccard) left-joined against the
+    LSH candidates, with ``in_lsh`` flagging membership. The oracle
+    asserts TRUE for every row, so a single missed pair hash-mismatches
+    the driver row. Broader recall (j ≥ 0.8 ⇒ ≥ 0.95) and estimate
+    accuracy stay gated in tests/test_northstar.py.
+    """
+    cands = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_lsh")
+    )
+    true_near = prefix_filtered_jaccard_join(
+        load_table(spark, sf_dir, "documents"), threshold=_NEAR_CERTAIN_T
+    )
+    return true_near.join(cands, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
     )
 
 
@@ -207,10 +281,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filtered_jaccard_join(d)
 
 
-def prefix_filtered_jaccard_join(docs: DataFrame) -> DataFrame:
+def prefix_filtered_jaccard_join(
+    docs: DataFrame, threshold: float = _JACCARD_T
+) -> DataFrame:
     """Core prefix-filter join over any (doc_id, text) DataFrame —
     separated from the fixture loader so property tests can drive it
-    with adversarial corpora."""
+    with adversarial corpora. ``threshold`` must be a short decimal
+    (0.5, 0.95, …): the prefix length uses its exact rational form in
+    integer arithmetic, because ``ceil(t·n)`` in floating point can land
+    one ulp high (0.95×20 → 19.000000000000004 → ceil 20) and silently
+    drop the last prefix token — turning a lossless filter lossy."""
+    from fractions import Fraction
+
+    t = Fraction(str(threshold))
     tok = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
     )
@@ -226,9 +309,14 @@ def prefix_filtered_jaccard_join(docs: DataFrame) -> DataFrame:
             )
         )
     )
-    # t = 0.5 → prefix length p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1
+    # prefix length p = n − ⌈t·n⌉ + 1, via integer ceil:
+    # ⌈(num·n)/den⌉ = floor((num·n + den − 1) / den)
     n = F.size("wf")
-    p = (F.floor(n / 2) + 1).cast("int")
+    ceil_tn = F.floor(
+        (n * F.lit(t.numerator) + F.lit(t.denominator - 1))
+        / F.lit(t.denominator)
+    )
+    p = (n - ceil_tn + 1).cast("int")
     prefixes = ordered.select(
         "doc_id",
         F.explode(
@@ -256,7 +344,7 @@ def prefix_filtered_jaccard_join(docs: DataFrame) -> DataFrame:
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(jac >= _JACCARD_T)
+        .filter(jac >= float(threshold))
         .select(
             "doc_a",
             "doc_b",

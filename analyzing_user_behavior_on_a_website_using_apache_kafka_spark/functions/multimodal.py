@@ -112,11 +112,29 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # rows-only: fake-decoder features
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(
+                    range(1, length(text) + 1),
+                    i -> ascii(substr(text, i, 1)))), 0) % 1000003
+                AS BIGINT) AS checksum,
+           CAST(64 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full mapInPandas decode pipeline over Arrow batches (fake
     decoder standing in for the stubbed media decode — same signature,
-    schema, and batch shape as `decode_media`)."""
+    schema, and batch shape as `decode_media`).
+
+    Oracle-able because the fake decoder is pure arithmetic over the
+    utf-8 payload bytes: n_bytes = octet_length, checksum = byte-sum mod
+    1000003. The fixture text is ASCII (asserted implicitly: a non-ASCII
+    doc would diverge octet_length from char length and hash-mismatch),
+    so DuckDB's per-char ``ascii()`` equals the per-byte sum."""
     df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
     return df.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
 
@@ -156,11 +174,37 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@query("q_multimodal_framesample")  # rows-only: fake frames
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS len_b,
+             greatest(1, octet_length(CAST(text AS BLOB)) // 64) AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len_b, (n_frames + 3) // 4 AS n_sampled FROM m
+    )
+    SELECT doc_id,
+           CAST(n_sampled AS BIGINT) AS n_sampled_frames,
+           CAST(CASE WHEN len_b >= 64 THEN 64 * n_sampled ELSE len_b END
+                AS BIGINT) AS sampled_bytes,
+           CAST(4 * (n_sampled - 1) AS INT) AS last_frame_no
+    FROM s
+    """,
+)
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling pipeline: every row expands to its sampled frames
     (1→N inside mapInPandas) and a relational tail aggregates per doc —
-    the decode→sample→aggregate shape of a video-corpus pipeline."""
+    the decode→sample→aggregate shape of a video-corpus pipeline.
+
+    Oracle-able because the fake sampler is frame-count arithmetic over
+    the payload length L: n_frames = max(1, L // 64), frames 0,4,8,…
+    < n_frames → n_sampled = ⌈n_frames/4⌉, last = 4·(n_sampled−1), and
+    every sampled chunk is a full 64 bytes whenever L ≥ 64 (frame index
+    never exceeds n_frames−1, and n_frames·64 ≤ L), else the single
+    frame carries all L bytes."""
     df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
     frames = df.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
     return frames.groupBy("doc_id").agg(

@@ -54,52 +54,53 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # window functions
+    # --- the 12 queries with NO driver row in either prior round (the
+    # r01/r02 windows never sampled them; all locally oracle-green) ---
+    "q_win_first_last",
+    "q_agg_stats",  # also CHANGED: cents rounding + wider composite
+    "q_agg_sketch_merge",
+    "q_agg_approx_quantile",
+    "q_udf_cogroup",  # also CHANGED: DECIMAL-rounded total_spend
+    "q_udtf_explode",
+    "q_sql_window",
+    "q_sample_mixture",
+    "q_text_fingerprint",
+    "q_text_token_bpe",
+    "q_text_chunk",
+    "q_text_rollhash",
+    # --- queries CHANGED this round (need fresh driver rows) ---
+    "q_udaf_grouped",  # re-keyed on user_id
+    "q_sink_upsert",  # checkpointed read-before-overwrite
+    "q_dedup_near",  # now the oracle-checked recall-invariant view
+    "q_multimodal_features",  # new arithmetic oracle
+    "q_multimodal_framesample",  # new arithmetic oracle
+    "q_stream_static_join",  # un-broadcast scaling dim
+    "q_stream_dedup",  # fixture-assumption pin (plan unchanged)
+    # --- one-or-more green representatives per family (regression) ---
+    # windows
     "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_range_frame",
-    "q_topk_per_group",
-    # set ops tail missed in round 1
-    "q_except",
-    # SQL front-end (q_sql_window demoted: window fns covered by the
-    # checked q_win_* family; the front-end itself by the other two)
+    # SQL front-end
     "q_sql_report",
-    "q_sql_join_having",
     # UDF ladder
-    # (q_udtf_explode demoted: plain `explode`, covered by q_unpivot's
-    # r01-green row and q_udtf_python's checked generator path)
-    "q_udf_scalar",
     "q_udf_pandas",
-    "q_udaf_grouped",
     "q_udtf_python",
     # dedup ladder
     "q_dedup_exact",
-    "q_dedup_near",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_dedup_simhash",
     "q_dedup_embed_cosine",
     # text analysis
-    "q_text_langid",
-    "q_text_normalize",
-    "q_text_tokens",
-    "q_text_langstats",
     "q_text_tfidf",
-    # (q_text_fingerprint / q_text_token_bpe / q_text_rollhash demoted:
-    # the text family keeps 7 in-window representatives; the slots fund
-    # the otherwise-unrepresented sampling/sink families)
+    "q_text_langid",
     "q_text_quality",
     "q_pipeline_curate",
-    # sampling & upsert sink (new families this round)
+    # sampling
     "q_sample_hash",
     "q_split_train_test",
-    "q_sink_upsert",
-    # multimodal plumbing
+    # multimodal
     "q_multimodal_cols",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    # similarity search
+    # similarity
     "q_sim_topk_bruteforce",
     "q_sim_ivf",
     "q_sim_ann",
@@ -107,23 +108,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_source_orc",
     # big-big range join (binned)
     "q_join_range_binned",
-    # streaming
+    # streaming (full family: state machinery regressions are silent)
     "q_stream_kafka_source",
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_watermark_late",
-    "q_stream_dedup",
     "q_stream_complete_agg",
-    "q_stream_static_join",
     "q_stream_stream_join",
     "q_stream_stream_left",
     "q_stream_custom_state",
-    # round-1 red / rows-only rows, re-verified first
-    "q_agg_collect",
-    "q_agg_approx_distinct",
-    # flagship batch re-check (green in round 1, CHANGED this round)
-    "q_sessionize_batch",
+    # core-aggregate regression representative (slot 50)
+    "q_agg_count_by",
+    # Everything demoted is driver-green (r01/r02) and unchanged.
 )
 
 

@@ -86,10 +86,18 @@ def test_minhash_banding_finds_true_near_dups(spark, sf_dir):
             j = inter / len(toks[a] | toks[b])
             if j >= 0.8:
                 true_pairs[(a, b)] = j
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+
     got = {
         (r.doc_a, r.doc_b): r.est_jaccard
-        for r in registry.all_queries()["q_dedup_near"](spark, sf_dir).collect()
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
     }
+    # the registered query is the driver-facing view of the same
+    # invariant: every true j>=0.95 pair flagged in_lsh
+    inv = registry.all_queries()["q_dedup_near"](spark, sf_dir)
+    assert all(r.in_lsh for r in inv.collect())
     certain = {p for p, j in true_pairs.items() if j >= 0.95}
     missed_certain = certain - set(got)
     assert not missed_certain, f"missed j>=0.95 pairs: {sorted(missed_certain)[:5]}"
@@ -103,8 +111,11 @@ def test_minhash_banding_finds_true_near_dups(spark, sf_dir):
 def test_near_dup_self_consistency(spark, sf_dir):
     # every near-dup candidate pair must estimate jaccard in [0, 1] and
     # be ordered doc_a < doc_b with no duplicates
-    df = registry.all_queries()["q_dedup_near"](spark, sf_dir)
-    rows = df.collect()
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = minhash_lsh_pairs(spark, sf_dir).collect()
     pairs = [(r.doc_a, r.doc_b) for r in rows]
     assert len(pairs) == len(set(pairs))
     assert all(a < b for a, b in pairs)
