@@ -11,6 +11,14 @@ similarity (brute-force AND the bucketed ANN path), plus one stateful
 streaming job (stream-static join) so the state-store path has a tracked
 wall-time. Each query executes to completion (count() materializes the
 full plan; nothing collects to the driver).
+
+EXTENDED set = the two most expensive LLM-pipeline plans (exact jaccard
+self-join and connected components), tracked separately because on this
+deliberately self-similar fixture their runtime is OUTPUT-bound — 8.9 M
+true pairs = 71% of all doc pairs at sf0.1 (SCALE.md) — so folding them
+into the headline total would swamp the round-over-round signal of the
+other 14 plans. Their wall-times land in "extended"/"extended_total_sec"
+of the same JSON line.
 """
 
 from __future__ import annotations
@@ -46,6 +54,11 @@ HEADLINE = [
     "q_stream_static_join",
 ]
 
+EXTENDED = [
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +73,11 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        extended[name] = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -67,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total_sec": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -63,3 +63,14 @@ def test_oracles_subset_of_queries_and_aligned():
     # oracle emission respects the same priority order
     qnames = [n for n in qs if n in os_]
     assert qnames == list(os_)
+
+
+def test_survey_declares_exactly_the_served_surface():
+    """SURVEY.md §2.2 is the declared contract; the registry is the
+    served one. They must be the same key set (VERDICT r2 item 6)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_coverage
+
+    gen_coverage.assert_survey_declares_served_surface()
