@@ -246,3 +246,42 @@ def test_salted_join_spreads_hot_key_across_partitions():
     )
     assert unsalted >= 0.9 * total, (unsalted, total)  # hot key pins one task
     assert salted <= unsalted / 4, (salted, unsalted)  # salt spreads ~N_SALT×
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective filter on the
+    join's build side (orders: one priority) injects a bloom-filter
+    `might_contain` predicate on the probe side (lineitem), discarding
+    non-matching rows BEFORE the join shuffle — at 100 TB this cuts the
+    shuffled probe volume by the build side's selectivity. Enabled by
+    default above 10 GB probe scans; the thresholds are only lowered
+    here because the fixture scan is KB-sized. Asserted on the optimized
+    logical plan: a bloom_filter_agg build and a might_contain filter on
+    the probe key."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_quantity", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )

@@ -132,6 +132,45 @@ def test_prefix_filter_join_is_lossless(pb_spark, docs):
     assert got == want, (sorted(want - got), sorted(got - want))
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=docs_strategy,
+    threshold=st.sampled_from([0.6, 0.75, 0.8, 0.9, 0.95]),
+)
+def test_prefix_filter_lossless_at_any_threshold(pb_spark, docs, threshold):
+    """The threshold parameter (added for q_dedup_near's 0.95 recall
+    invariant) must keep the blocking lossless at EVERY threshold: the
+    prefix length p = n − ⌈t·n⌉ + 1 uses exact-rational integer ceil,
+    because float ⌈t·n⌉ can land one ulp high (0.95×20 →
+    19.000000000000004) and silently shorten the prefix. Tiny docs
+    (1-6 tokens) put every example on an integer boundary."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        prefix_filtered_jaccard_join,
+    )
+
+    spark = pb_spark
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_jaccard_join(df, threshold=threshold).collect()
+    }
+    sets = [set(ws) for ws in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= threshold:
+                want.add((a, b))
+    assert got == want, (threshold, sorted(want - got), sorted(got - want))
+
+
 prices_strategy = st.lists(
     # multiples of 50 land deltas exactly ON the ±100 boundary
     st.integers(0, 10).map(lambda k: k * 50.0),

@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE
+from bench import EXTENDED, HEADLINE
 
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
     plans,
@@ -36,7 +36,7 @@ def main() -> None:
         "PushedFilters), small dims broadcast, aggregates are "
         "partial+final HashAggregate, no unexpected Exchange.",
     ]
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         df = qs[name](spark, SF_DIR)
         tree = plans.formatted_plan(df).split("\n\n")[0]
         scans = plans.read_schema_columns(df)
@@ -52,7 +52,7 @@ def main() -> None:
         ]
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md for {len(HEADLINE)} queries")
+    print(f"wrote PLANS.md for {len(HEADLINE + EXTENDED)} queries")
 
 
 if __name__ == "__main__":
