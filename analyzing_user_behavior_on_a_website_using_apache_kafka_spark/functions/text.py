@@ -46,6 +46,54 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_ngram_counts",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM t
+    )
+    GROUP BY bigram
+    """,
+)
+def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table — the n-gram LM / tokenizer-training
+    count pass — built ENTIRELY with JVM higher-order functions: the
+    bigram list is ``zip_with`` over the token array and its 1-shifted
+    slice (a flatMap, no shuffle until the count), then one
+    groupBy(bigram) with map-side combine.
+
+    This is the scalable twin of q_udtf_python's per-row Python UDTF
+    (same bigram semantics, oracle-compatible): at 100 TB the expansion
+    multiplies the corpus ~|doc|×, so keeping it inside whole-stage
+    codegen instead of a Python worker round-trip is the difference
+    between a scan-bound and an IPC-bound job. Output is
+    vocabulary²-bounded in theory but Zipf-concentrated in practice;
+    downstream consumers filter `cnt >= k` — pushed into the same
+    aggregate when needed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    # slice length must be non-negative (a 0/1-token doc has no bigrams)
+    n_pairs = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, F.lit(1), n_pairs),
+        F.slice(words, F.lit(2), n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
     "q_text_normalize",
     oracle="""
     WITH t AS (

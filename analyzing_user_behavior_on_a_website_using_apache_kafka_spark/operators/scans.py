@@ -116,6 +116,54 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_evolving_schema",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey,
+           CAST(1 AS INT) AS batch
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), CAST(2 AS INT)
+    FROM nation
+    """,
+)
+def q_source_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches (``mergeSchema``): batch 1
+    was written before the n_regionkey column existed, batch 2 after.
+    Reading the directory with ``mergeSchema=true`` reconciles the two
+    footers into the union schema; batch-1 rows surface NULL for the
+    added column.
+
+    The operational reality of a 100 TB log: producers add columns over
+    time and old partitions are never rewritten. By default Spark reads
+    the schema from ONE footer (cheap, wrong across drift); mergeSchema
+    reconciles all footers — turn it on per-read for drifted
+    directories, or pin the contract with an explicit ``.schema(...)``
+    (additive-only drift makes the explicit schema forward-compatible).
+    Types must be pinned at write time: an int32 batch-1 column and an
+    int64 batch-2 column fail the merge, which is why every write here
+    casts keys to bigint first.
+    """
+    out = tempfile.mkdtemp(prefix="aub_evolving_schema_")
+    nation = load_table(spark, sf_dir, "nation")
+    batch1 = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.lit(1).alias("batch"),
+    )
+    batch2 = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        F.lit(2).alias("batch"),
+    )
+    batch1.write.mode("append").parquet(out)
+    batch2.write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "n_nationkey", "n_name", "n_regionkey", "batch"
+    )
+
+
+@query(
     "q_sink_append",
     oracle="""
     SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies FROM nation

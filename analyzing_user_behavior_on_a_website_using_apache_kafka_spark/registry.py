@@ -68,6 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_token_bpe",
     "q_text_chunk",
     "q_text_rollhash",
+    # --- queries NEW this round (need first driver rows) ---
+    "q_text_ngram_counts",
+    "q_source_evolving_schema",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -81,9 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_rank",
     # SQL front-end
     "q_sql_report",
-    # UDF ladder
+    # UDF ladder (q_udtf_python demoted this round: r02-green, unchanged;
+    # its bigram semantics are re-covered by the new q_text_ngram_counts)
     "q_udf_pandas",
-    "q_udtf_python",
     # dedup ladder
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
@@ -108,8 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_source_orc",
     # big-big range join (binned)
     "q_join_range_binned",
-    # streaming (full family: state machinery regressions are silent)
-    "q_stream_kafka_source",
+    # streaming (near-full family: state machinery regressions are
+    # silent; q_stream_kafka_source demoted — r02-green pass-through
+    # scan, least stateful of the family)
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
