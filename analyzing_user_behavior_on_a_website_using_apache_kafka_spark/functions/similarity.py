@@ -120,6 +120,54 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embed_normquant",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           array_to_string(list_transform(emb,
+             x -> CAST(CAST(floor(x / nrm * 127 + 0.5) AS INT) AS VARCHAR)
+           ), ',') AS quant_i8
+    FROM n
+    """,
+)
+def q_embed_normquant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table maintenance: L2 norm + int8 quantization of every
+    vector — the preprocessing that makes ANN affordable at corpus scale
+    (unit-normalizing turns cosine into dot product; int8 cuts vector
+    memory 4× vs float32, 8× vs float64, so ~4× more corpus fits in the
+    same executor/ANN-index memory). Map-only JVM higher-order
+    expressions — no shuffle, no Python.
+
+    Quantization rounds via ``floor(x·127 + 0.5)`` (round-half-up) in
+    BOTH engines rather than ``round()`` — Spark's double round is
+    HALF_UP while DuckDB's rounds half away from zero, which differs for
+    negative components. The quantized vector is projected as a joined
+    string because the driver canonicalizer cannot hash array columns.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    quant = F.transform(
+        F.col("emb"),
+        lambda x: (F.floor(x / nrm * 127 + F.lit(0.5)))
+        .cast("int")
+        .cast("string"),
+    )
+    return v.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.array_join(quant, ",").alias("quant_i8"),
+    )
+
+
 # --- ANN: deterministic random-hyperplane LSH -------------------------------
 
 # Tuned for the fixture distribution (near-random 64-d vectors, top-10

@@ -93,6 +93,69 @@ def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+_LONGNUM_RE = "[0-9]{4,}"
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example tel ' || CAST(doc_id * 7919 AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_LONGNUM_RE}', '<NUM>', 'g')) AS scrub_md5,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_LONGNUM_RE}')) AS BIGINT)
+             AS n_longnums
+    FROM base
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: emails then long digit runs replaced with
+    typed placeholders, with per-doc redaction counts for the audit
+    trail. Pure JVM regexp (regexp_replace is global in both engines;
+    patterns use only character classes, identical in Java and RE2).
+
+    The fixture text contains no PII, so deterministic synthetic PII
+    (an email and a phone-like number derived from doc_id) is appended
+    inside the query — both engines construct the identical raw string,
+    making redaction itself, not just the no-op path, oracle-checked.
+    The scrubbed text is projected as md5 to keep the compared rows
+    small; counts are computed on the PRE-scrub text. Replacement order
+    matters (emails first, so their digit runs are already collapsed) —
+    encoded identically in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example tel "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_LONGNUM_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_longnums"),
+    )
+
+
 @query(
     "q_text_normalize",
     oracle="""

@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- queries NEW this round (need first driver rows) ---
     "q_text_ngram_counts",
     "q_source_evolving_schema",
+    "q_text_pii_scrub",
+    "q_embed_normquant",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -88,11 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     # its bigram semantics are re-covered by the new q_text_ngram_counts)
     "q_udf_pandas",
     # dedup ladder
+    # (q_dedup_simhash / q_dedup_embed_cosine demoted this round: both
+    # rows-only — their driver rows add no hash evidence — and both
+    # have r02 rows plus recall/property gates in tests)
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
-    "q_dedup_simhash",
-    "q_dedup_embed_cosine",
     # text analysis
     "q_text_tfidf",
     "q_text_langid",
