@@ -193,7 +193,7 @@ _NEAR_CERTAIN_T = 0.95  # banding theory: P(miss) = (1−0.95⁴)⁸ ≈ 1.4e-6
            ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.words, b.words))), 6)
              AS jaccard,
-           TRUE AS in_lsh
+           CAST(1 AS INT) AS in_lsh
     FROM tok a JOIN tok b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
           len(list_distinct(list_concat(a.words, b.words)))
@@ -212,13 +212,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query emits the SQL-expressible one-sided invariant
     instead: exact-jaccard ≥ 0.95 pairs (prefix-filtered join, itself
     oracle-checked under q_dedup_ngram_jaccard) left-joined against the
-    LSH candidates, with ``in_lsh`` flagging membership. The oracle
-    asserts TRUE for every row, so a single missed pair hash-mismatches
-    the driver row. Broader recall (j ≥ 0.8 ⇒ ≥ 0.95) and estimate
-    accuracy stay gated in tests/test_northstar.py.
+    LSH candidates, with ``in_lsh`` (1/0 — INT, not boolean: the
+    driver canonicalizer has only ever hashed int/double/string
+    columns) flagging membership. The oracle asserts 1 for every row,
+    so a single missed pair hash-mismatches the driver row. Broader
+    recall (j ≥ 0.8 ⇒ ≥ 0.95) and estimate accuracy stay gated in
+    tests/test_northstar.py.
     """
     cands = minhash_lsh_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(True).alias("in_lsh")
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     true_near = prefix_filtered_jaccard_join(
         load_table(spark, sf_dir, "documents"), threshold=_NEAR_CERTAIN_T
@@ -227,7 +229,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         "jaccard",
-        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+        F.coalesce("in_lsh", F.lit(0)).cast("int").alias("in_lsh"),
     )
 
 
