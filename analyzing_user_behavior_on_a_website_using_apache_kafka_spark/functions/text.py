@@ -93,6 +93,57 @@ def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, COUNT(*) AS c FROM t WHERE w <> ''
+      GROUP BY source, w
+    ),
+    shares AS (
+      SELECT source, c,
+             CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source) AS p
+      FROM counts
+    )
+    SELECT source,
+           ROUND(-SUM(p * ln(p)), 6) AS token_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+    FROM shares
+    GROUP BY source
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the corpus
+    diversity metric a data-mixture curator reads next to the per-source
+    sampling weights (q_sample_mixture): a source whose entropy collapses
+    is template spam regardless of its document count.
+
+    Plan: one shuffle on (source, word) for counts, a source-partitioned
+    window for the share, one final O(sources × vocabulary)-input
+    aggregate — all JVM. Entropy terms sum in different orders across
+    engines; at double precision the associativity error is ~1e-12
+    against terms ≥ 1/corpus, so ROUND(…, 6) pins the hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.sum("c").over(
+        W.partitionBy("source")
+    )
+    shares = counts.select("source", p.alias("p"))
+    return shares.groupBy("source").agg(
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias(
+            "token_entropy"
+        ),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+
+
 _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
 _LONGNUM_RE = "[0-9]{4,}"
 

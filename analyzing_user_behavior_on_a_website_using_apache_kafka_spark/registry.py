@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_source_evolving_schema",
     "q_text_pii_scrub",
     "q_embed_normquant",
+    "q_text_entropy",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -110,8 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_topk_bruteforce",
     "q_sim_ivf",
     "q_sim_ann",
-    # sources
-    "q_source_orc",
+    # sources (q_source_orc demoted this round: r02-green, unchanged;
+    # the family keeps the new q_source_evolving_schema row)
     # big-big range join (binned)
     "q_join_range_binned",
     # streaming (near-full family: state machinery regressions are
