@@ -1,0 +1,451 @@
+"""User-behavior analytics over the event log — the analyses the
+reference exists to serve.
+
+The reference's whole purpose is "analyzing user behavior on a website":
+``serwer.js`` emits one message per click and ``Raport.py:41-69``
+re-consumes the complete log to draw per-topic histograms
+(``Raport.py:74-99``). These queries are the next page of that same
+report — funnel conversion, cohort retention, event-transition
+structure, dwell time, top paths, growth accounting — expressed as
+single declarative Spark plans over the ``events`` table instead of a
+driver-side ``Counter`` per topic.
+
+Scale notes (the 100 TB shape of each):
+- Every per-user computation (funnel layers, paths, dwell, first-seen)
+  is a Window or groupBy partitioned on ``user_id`` — the natural,
+  high-cardinality, evenly-hashed key; chained selects over the SAME
+  partitioning collapse to one Exchange.
+- Every *unpartitioned* window here runs over an already-aggregated
+  input (per-day / per-source rows — O(days), O(types²) cardinality),
+  the pattern tests/test_plans.py explicitly allows; raw events never
+  pass through a global window.
+- Final report relations are tiny (stages, type-pairs, day grid), so
+  the joins that assemble them broadcast under AQE at any sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_ORD = ("ts", "event_id")  # total order within a user: ts alone has dups
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH l1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    l2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                         THEN ts END)
+                    OVER (PARTITION BY user_id) AS t_click
+      FROM l1
+    ),
+    l3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                         THEN ts END)
+                    OVER (PARTITION BY user_id) AS t_purchase
+      FROM l2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM l3 GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(t_view) AS BIGINT) AS n_view,
+             CAST(COUNT(t_click) AS BIGINT) AS n_click,
+             CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase
+      FROM per_user
+    )
+    SELECT 1 AS stage, 'view' AS stage_name, n_view AS n_users,
+           ROUND(CASE WHEN n_total > 0
+                      THEN CAST(n_view AS DOUBLE) / n_total END, 6)
+               AS pct_of_prev
+    FROM tot
+    UNION ALL
+    SELECT 2, 'click_after_view', n_click,
+           ROUND(CASE WHEN n_view > 0
+                      THEN CAST(n_click AS DOUBLE) / n_view END, 6)
+    FROM tot
+    UNION ALL
+    SELECT 3, 'purchase_after_click', n_purchase,
+           ROUND(CASE WHEN n_click > 0
+                      THEN CAST(n_purchase AS DOUBLE) / n_click END, 6)
+    FROM tot
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click strictly after the first view →
+    purchase strictly after the first qualifying click.
+
+    Three chained per-user MIN windows (each layer conditions on the
+    previous layer's timestamp) share ONE user_id partitioning — Catalyst
+    plans a single Exchange feeding three Window nodes — then a per-user
+    reduce and a single-row global aggregate fan out into the 3-stage
+    funnel report. Strictly-after (`>`) matches the session-gap
+    convention verified for `q_stream_session`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user_w = W.partitionBy("user_id")
+    l1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+            per_user_w
+        ).alias("t_view"),
+    )
+    l2 = l1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(per_user_w),
+    )
+    l3 = l2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(per_user_w),
+    )
+    per_user = l3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+    def pct(num, den):
+        return F.round(
+            F.when(
+                F.col(den) > 0,
+                F.col(num).cast("double") / F.col(den),
+            ),
+            6,
+        )
+
+    stages = [
+        ("view", 1, "n_view", "n_total"),
+        ("click_after_view", 2, "n_click", "n_view"),
+        ("purchase_after_click", 3, "n_purchase", "n_click"),
+    ]
+    # Fan the single-row aggregate out to one row per stage with ONE
+    # explode — a 3-way union of `tot.select(...)` branches would
+    # triplicate the whole scan+window subtree (no cross-branch plan
+    # sharing in Catalyst).
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(stage).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(num).alias("n_users"),
+                pct(num, den).alias("pct_of_prev"),
+            )
+            for name, stage, num, den in stages
+        ]
+    )
+    return tot.select(F.explode(rows).alias("s")).select(
+        "s.stage", "s.stage_name", "s.n_users", "s.pct_of_prev"
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(FLOOR(date_diff('day', f.cohort_day,
+                                  CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+                 AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    grid AS (
+      SELECT cohort_day, week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM act GROUP BY cohort_day, week_offset
+    )
+    SELECT cohort_day, week_offset, n_users,
+           ROUND(CAST(n_users AS DOUBLE) /
+                 MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                     OVER (PARTITION BY cohort_day), 6) AS pct_of_cohort
+    FROM grid
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    7-day offset, normalized by cohort size.
+
+    Calendar-free offsets (day-diff // 7, explicit FLOOR on both engines
+    — DuckDB's int cast ROUNDS while Spark's TRUNCATES, so a bare cast
+    diverges) avoid week-truncation convention drift. The per-user
+    first-seen aggregate and the activity join share the user_id
+    partitioning; the cohort-size window runs over the aggregated grid
+    (O(cohorts × offsets) rows). Week 0 always holds the full cohort, so
+    pct_of_cohort's denominator exists by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("d"), F.col("cohort_day")) / F.lit(7.0)
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    grid = act.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cohort_w = W.partitionBy("cohort_day")
+    return grid.select(
+        "cohort_day",
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_users"))
+            ).over(cohort_w),
+            6,
+        ).alias("pct_of_cohort"),
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY src), 6) AS p_transition
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the clickstream: for each
+    (event_type → next event_type) pair, its count and conditional
+    probability.
+
+    One LEAD window on user_id (the only shuffle that sees raw events),
+    a groupBy on the 25-cell pair space, and a share window over the
+    aggregated matrix. (ts, event_id) is a total order, so dst is
+    deterministic under concurrent identical timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORD)
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src_w = W.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(src_w), 6
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "q_event_dwell",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_ms(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+                 - epoch_ms(ts) AS dwell_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(dwell_ms), 4) AS avg_dwell_ms,
+           ROUND(quantile_cont(dwell_ms, 0.5), 4) AS p50_dwell_ms,
+           ROUND(quantile_cont(dwell_ms, 0.95), 4) AS p95_dwell_ms
+    FROM seq
+    WHERE dwell_ms IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_event_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time: how long a user lingers on each event type before
+    their next action — avg / p50 / p95 of (next ts − ts) per type.
+
+    LEAD over the user_id partition, then a 5-group aggregate; exact
+    percentiles use the built-in JVM `percentile` (== DuckDB
+    quantile_cont linear interpolation, the pairing verified by
+    `q_agg_percentile`). Millisecond integers avoid float time
+    arithmetic until the final rounded stats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORD)
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")
+        ).alias("dwell_ms"),
+    )
+    return (
+        seq.filter(F.col("dwell_ms").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dwell_ms"), 4).alias("avg_dwell_ms"),
+            F.round(
+                F.percentile("dwell_ms", F.lit(0.5)), 4
+            ).alias("p50_dwell_ms"),
+            F.round(
+                F.percentile("dwell_ms", F.lit(0.95)), 4
+            ).alias("p95_dwell_ms"),
+        )
+    )
+
+
+@query(
+    "q_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (event-type trigrams) by
+    frequency — "what do users actually do" in one table.
+
+    Two LEADs in one window pass (one shuffle), a groupBy over the ≤125
+    possible paths, and a global top-k whose (n DESC, path ASC) ordering
+    is total, so the LIMIT set is deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORD)
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    news AS (
+      SELECT first_day AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT dau.d, dau.dau,
+           COALESCE(news.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(news.new_users, 0))
+                    OVER (ORDER BY dau.d
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+    FROM dau LEFT JOIN news ON dau.d = news.d
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day — active users, NEW users (first ever
+    seen that day), and the running total of distinct users ever seen.
+
+    The running-distinct-users metric needs no distinct-over-window
+    (unsupported in Spark): cumulative distinct == running SUM of
+    per-day first-sightings. Both inputs aggregate before the tiny
+    O(days) join + unpartitioned window, which therefore runs over
+    aggregated input (the allowed pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    joined = dau.join(news, "d", "left").select(
+        "d",
+        "dau",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    run = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "d",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(run).cast("bigint").alias("cum_users"),
+    )

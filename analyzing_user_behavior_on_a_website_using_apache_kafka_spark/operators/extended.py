@@ -292,10 +292,13 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     wide = o.agg(*stats("o_totalprice"), *stats("o_custkey"))
-    parts = []
-    for col in ("o_totalprice", "o_custkey"):
-        parts.append(
-            wide.select(
+    # One explode fans the single wide row out to one row per column — a
+    # union of per-column selects over `wide` would re-run the whole
+    # scan+aggregate per branch (no cross-branch plan sharing), breaking
+    # the single-pass claim.
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(col).alias("col"),
                 F.col(f"{col}__n_rows").alias("n_rows"),
                 F.col(f"{col}__n_nonnull").alias("n_nonnull"),
@@ -304,11 +307,13 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"{col}__max_val").alias("max_val"),
                 F.col(f"{col}__avg_val").alias("avg_val"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for col in ("o_totalprice", "o_custkey")
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select(
+        "s.col", "s.n_rows", "s.n_nonnull", "s.n_distinct",
+        "s.min_val", "s.max_val", "s.avg_val",
+    )
 
 
 @query(

@@ -52,10 +52,13 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     partition spec over UNAGGREGATED input — the
     move-everything-to-one-reducer shape that stalls at scale.
 
-    A logical Window prints as
-    ``Window [exprs], [partitionExprs], [orderExprs]`` — three top-level
-    bracket groups — while an unpartitioned one omits the middle group
-    (counted by bracket-depth parsing; expressions nest brackets). An
+    A logical Window prints its NON-EMPTY spec lists as top-level bracket
+    groups: ``Window [exprs], [partitionExprs], [orderExprs]`` when both
+    are present, and omits an empty list entirely — so a partitioned
+    UNORDERED window (per-group min/max over the whole partition) and an
+    unpartitioned ORDERED one both print two groups. Order expressions
+    always carry a sort direction (``ASC``/``DESC``), partition
+    expressions never do, which disambiguates the two-group case. An
     unpartitioned window whose subtree contains an Aggregate is NOT
     flagged: its input is O(groups) rows (e.g. share-of-total over a
     histogram), a legitimate pattern.
@@ -72,15 +75,23 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         if not s.startswith("Window ["):
             continue
         depth = 0
-        groups = 0
+        groups: list[str] = []
         for ch in s[len("Window ") :]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups >= 3:
+            elif depth >= 1:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            # second group has no sort direction -> it IS the partition
+            # spec (partitioned, unordered window): fine at scale
             continue
         # unpartitioned: inspect this node's subtree (deeper-indented
         # lines until a sibling at the same or shallower indent)

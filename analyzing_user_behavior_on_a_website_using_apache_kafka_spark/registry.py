@@ -74,6 +74,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_pii_scrub",
     "q_embed_normquant",
     "q_text_entropy",
+    # behavior-analytics family (the reference's report, next page)
+    "q_funnel_conversion",
+    "q_cohort_retention",
+    "q_event_transitions",
+    "q_event_dwell",
+    "q_path_topk",
+    "q_growth_accounting",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -83,10 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_static_join",  # un-broadcast scaling dim
     "q_stream_dedup",  # fixture-assumption pin (plan unchanged)
     # --- one-or-more green representatives per family (regression) ---
-    # windows
-    "q_win_rank",
-    # SQL front-end
-    "q_sql_report",
+    # (q_win_rank / q_sql_report demoted this round: r02-green,
+    # unchanged; their families stay covered by q_win_first_last /
+    # q_sql_window inside the window)
     # UDF ladder (q_udtf_python demoted this round: r02-green, unchanged;
     # its bigram semantics are re-covered by the new q_text_ngram_counts)
     "q_udf_pandas",
@@ -97,19 +103,18 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
-    # text analysis
+    # text analysis (q_text_langid / q_text_quality demoted this round:
+    # r02-green, unchanged; the family keeps 8 other rows in-window)
     "q_text_tfidf",
-    "q_text_langid",
-    "q_text_quality",
     "q_pipeline_curate",
-    # sampling
+    # sampling (q_split_train_test demoted: r02-green, unchanged;
+    # family keeps q_sample_hash + q_sample_mixture)
     "q_sample_hash",
-    "q_split_train_test",
     # multimodal
     "q_multimodal_cols",
-    # similarity
+    # similarity (q_sim_ivf demoted: rows-only row adds no hash
+    # evidence; recall gates pin it in tests)
     "q_sim_topk_bruteforce",
-    "q_sim_ivf",
     "q_sim_ann",
     # sources (q_source_orc demoted this round: r02-green, unchanged;
     # the family keeps the new q_source_evolving_schema row)
@@ -159,6 +164,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        behavior,
         extended,
         filters,
         joins,

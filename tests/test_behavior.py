@@ -1,0 +1,176 @@
+"""Semantics tests for the user-behavior analytics family
+(operators/behavior.py) on hand-crafted event logs — the oracle parity
+sweep (test_oracle_parity) checks engine agreement; these pin WHAT the
+queries mean: funnel stage ordering strictness, retention offsets,
+transition-probability normalization, growth-accounting identities."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators import (
+    behavior,
+)
+
+_T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ts(**kw) -> dt.datetime:
+    return _T0 + dt.timedelta(**kw)
+
+
+def _events_dir(spark, rows) -> str:
+    """Write (event_id, ts, user_id, event_type) rows as an events.parquet
+    fixture dir consumable by load_table."""
+    d = tempfile.mkdtemp(prefix="behavior_fixture_")
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (_ts(minutes=1), 1, "view"),
+        (_ts(minutes=2), 1, "click"),
+        (_ts(minutes=3), 1, "purchase"),
+        # u2 clicks BEFORE its first view: click stage must not count,
+        # and its purchase (no qualifying click) must not either
+        (_ts(minutes=1), 2, "click"),
+        (_ts(minutes=2), 2, "view"),
+        (_ts(minutes=3), 2, "purchase"),
+        # u3 views then purchases without clicking: stops at stage 1
+        (_ts(minutes=1), 3, "view"),
+        (_ts(minutes=2), 3, "purchase"),
+        # u4 never enters the funnel
+        (_ts(minutes=1), 4, "error"),
+    ]
+    return _events_dir(spark, rows)
+
+
+def test_funnel_stage_ordering_is_strict(spark, funnel_dir):
+    got = {
+        r["stage_name"]: r["n_users"]
+        for r in behavior.q_funnel_conversion(spark, funnel_dir).collect()
+    }
+    assert got == {
+        "view": 3,
+        "click_after_view": 1,
+        "purchase_after_click": 1,
+    }
+
+
+def test_funnel_pct_is_vs_previous_stage(spark, funnel_dir):
+    rows = {
+        r["stage_name"]: r["pct_of_prev"]
+        for r in behavior.q_funnel_conversion(spark, funnel_dir).collect()
+    }
+    assert rows["view"] == pytest.approx(3 / 4)  # 4 users total
+    assert rows["click_after_view"] == pytest.approx(1 / 3)
+    assert rows["purchase_after_click"] == pytest.approx(1 / 1)
+
+
+def test_cohort_retention_offsets_and_share(spark):
+    rows = [
+        # u1: first seen day 0; active again day 6 (offset 0), day 7
+        # (offset 1) and day 20 (offset 2)
+        (_ts(days=0), 1, "view"),
+        (_ts(days=6), 1, "click"),
+        (_ts(days=7), 1, "view"),
+        (_ts(days=20), 1, "view"),
+        # u2: same cohort day, never returns
+        (_ts(days=0, minutes=5), 2, "view"),
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        (r["week_offset"], r["n_users"], r["pct_of_cohort"])
+        for r in behavior.q_cohort_retention(spark, d).collect()
+    }
+    assert got == {(0, 2, 1.0), (1, 1, 0.5), (2, 1, 0.5)}
+
+
+def test_transitions_probabilities_normalize_per_src(spark, sf_dir):
+    rows = behavior.q_event_transitions(spark, sf_dir).collect()
+    by_src: dict[str, float] = {}
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p_transition"]
+    for src, total in by_src.items():
+        assert total == pytest.approx(1.0, abs=1e-5), src
+
+
+def test_transitions_counts_on_known_sequence(spark):
+    rows = [
+        (_ts(minutes=i), 1, et)
+        for i, et in enumerate(["view", "click", "view", "click", "error"])
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p_transition"])
+        for r in behavior.q_event_transitions(spark, d).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 1.0),
+        ("click", "view"): (1, 0.5),
+        ("click", "error"): (1, 0.5),
+    }
+
+
+def test_dwell_known_gaps(spark):
+    rows = [
+        (_ts(seconds=0), 1, "view"),
+        (_ts(seconds=10), 1, "click"),   # view dwelled 10 s
+        (_ts(seconds=40), 1, "view"),    # click dwelled 30 s
+        (_ts(seconds=60), 1, "error"),   # view dwelled 20 s
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        r["event_type"]: (r["n"], r["avg_dwell_ms"], r["p50_dwell_ms"])
+        for r in behavior.q_event_dwell(spark, d).collect()
+    }
+    assert got["view"] == (2, 15000.0, 15000.0)
+    assert got["click"] == (1, 30000.0, 30000.0)
+    assert "error" not in got  # last event has no next action
+
+
+def test_path_topk_deterministic_and_ranked(spark, sf_dir):
+    a = behavior.q_path_topk(spark, sf_dir).collect()
+    b = behavior.q_path_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
+    ns = [r["n"] for r in a]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    rows = sorted(
+        behavior.q_growth_accounting(spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    # cumulative users = running sum of new users, monotone, and ends at
+    # the total distinct-user count; dau bounded by cumulative
+    run = 0
+    for r in rows:
+        run += r["new_users"]
+        assert r["cum_users"] == run
+        assert r["dau"] <= r["cum_users"]
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+    total = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert run == total
