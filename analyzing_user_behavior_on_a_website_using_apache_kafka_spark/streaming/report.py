@@ -13,10 +13,10 @@ same way here:
   title, overall pie, per-service dimension pies as a standalone SVG
   document (the deployable artifact this container can actually
   produce). Deterministic byte-for-byte — golden-file tested.
-- :func:`render_pdf` — matplotlib/reportlab rendering, STUBBED behind an
-  import-try (neither library exists in this container); the model→PDF
-  mapping is documented 1:1 against Raport.py so the renderer is a
-  mechanical fill-in.
+- :func:`render_pdf` — the actual raport.pdf artifact, rendered with
+  ZERO dependencies (:mod:`.pdfcanvas` writes PDF 1.4 from the public
+  spec: base-14 Helvetica, Bézier pie wedges, custom /Differences
+  encoding for the Polish labels). Deterministic — golden-file tested.
 - :func:`run_report_stream` — the 60 s processing-time trigger loop
   (``Raport.py:217-227``) as a Structured Streaming ``foreachBatch``:
   each epoch recomputes the aggregate *incrementally* (state store)
@@ -220,25 +220,113 @@ def svg_sink(path: str) -> Callable[[dict[str, Any], int], None]:
     return sink
 
 
-def render_pdf(model: dict[str, Any], path: str) -> str:
-    """Render the report model to a pie-chart PDF (Raport.py:101-213).
+def _rgb(hex_color: str) -> tuple[float, float, float]:
+    h = hex_color.lstrip("#")
+    return tuple(int(h[i : i + 2], 16) / 255.0 for i in (0, 2, 4))
 
-    Layout parity: title → overall pie with count labels + % shares
-    (``:151-162``) → per service: heading + one pie per dimension
-    (``:168-201``). Requires matplotlib + reportlab, which this
-    container does not ship — the model (all numbers, labels, shares,
-    ordering) is fully computed by :func:`report_model`; only the
-    drawing is stubbed.
+
+def _pie_pdf(page, cx: float, cy: float, slices) -> None:
+    """PDF twin of :func:`_pie_svg` — same palette, same start-at-12,
+    same clockwise slice order (PDF's y-axis points up, so clockwise on
+    screen = decreasing angle; slice i starts at π/2)."""
+    import math
+
+    white = (1.0, 1.0, 1.0)
+    nonzero = [(i, f) for i, (_, f) in enumerate(slices) if f > 0]
+    if len(nonzero) == 1:
+        page.circle(
+            cx, cy, _PIE_R, _rgb(_PALETTE[nonzero[0][0] % len(_PALETTE)]),
+            stroke=white,
+        )
+        return
+    angle = math.pi / 2
+    for i, (_, frac) in enumerate(slices):
+        if frac <= 0:
+            continue
+        end = angle - 2 * math.pi * frac
+        page.wedge(
+            cx, cy, _PIE_R, angle, end,
+            _rgb(_PALETTE[i % len(_PALETTE)]), stroke=white,
+        )
+        angle = end
+
+
+def _legend_pdf(page, x: float, y: float, entries) -> None:
+    """PDF twin of :func:`_legend_svg`: swatch + 'label — NN.N%' rows,
+    top-down from ``y`` (PDF y-up, so rows step negative)."""
+    for i, (label, frac) in enumerate(entries):
+        ly = y - i * 18
+        page.rect(x, ly - 2, 12, 12, _rgb(_PALETTE[i % len(_PALETTE)]))
+        page.text(x + 18, ly, f"{label} — {frac * 100:.1f}%", size=12)
+
+
+_PAGE_W, _PAGE_H = 595.0, 842.0  # A4 points, like the reference's output
+
+
+def render_pdf(model: dict[str, Any], path: str | None = None) -> bytes:
+    """Render the report model to a pie-chart PDF (Raport.py:101-213) —
+    zero dependencies (:mod:`.pdfcanvas` writes PDF 1.4 directly).
+
+    Page-level parity with the reference's matplotlib ``PdfPages``
+    output: page 1 = title + overall clicks-per-service pie with
+    ``{service} ({count})`` labels and % shares (``Raport.py:144-162``),
+    then one page per service — heading + one pie per dimension
+    (age/city/gender value histograms, ``:168-201``) — paginating if a
+    service's pies overflow. Deterministic byte-for-byte for a given
+    model (fixed palette/layout/float formatting, no timestamps) —
+    golden-file tested like its SVG twin. Returns the PDF bytes; also
+    writes them atomically to ``path`` when given.
     """
-    try:
-        import matplotlib  # noqa: F401
-        import reportlab  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container lacks libs
-        raise NotImplementedError(
-            "PDF rendering requires matplotlib+reportlab (not in this "
-            "container); report_model() provides the complete chart data"
-        ) from exc
-    raise NotImplementedError("renderer intentionally left to deployment")
+    from .pdfcanvas import PdfDocument, write_atomic
+
+    doc = PdfDocument()
+    page = doc.new_page(_PAGE_W, _PAGE_H)
+    y = _PAGE_H - 60
+    page.text(_PAGE_W / 2, y, model["title"], size=20, bold=True, center=True)
+    y -= 40
+    overall = model["overall"]
+    if overall:
+        page.text(40, y, "Klikniecia w serwisy", size=16, bold=True)
+        y -= 20
+        entries = [(e["label"], e["share"]) for e in overall]
+        _pie_pdf(page, 140, y - _PIE_R - 10, entries)
+        _legend_pdf(page, 260, y - 30, entries)
+    block_h = 2 * _PIE_R + 40  # label + pie + breathing room
+    for svc in model["services"]:
+        page = doc.new_page(_PAGE_W, _PAGE_H)
+        y = _PAGE_H - 60
+        page.text(
+            40, y, f"Raport serwisu: {svc['service']}", size=16, bold=True
+        )
+        y -= 30
+        for dim in sorted(svc["histograms"]):
+            if y - block_h < 20:  # overflow → continue on a fresh page
+                page = doc.new_page(_PAGE_W, _PAGE_H)
+                y = _PAGE_H - 60
+            rows = svc["histograms"][dim]
+            total = sum(c for _, c, _ in rows) or 1
+            entries = [(f"{v} ({c})", c / total) for v, c, _ in rows]
+            page.text(40, y, dim, size=13)
+            y -= 10
+            _pie_pdf(page, 140, y - _PIE_R, entries)
+            _legend_pdf(page, 260, y - 20, entries)
+            y -= block_h
+    data = doc.tobytes()
+    if path is not None:
+        write_atomic(path, data)
+    return data
+
+
+def pdf_sink(path: str) -> Callable[[dict[str, Any], int], None]:
+    """A ``run_report_stream`` sink that (re)writes ``path`` per epoch —
+    the direct analog of the reference overwriting raport.pdf every 60 s
+    (``Raport.py:204,217-227``), atomic-rename in place of the psutil
+    open-file guard (``:91-98``)."""
+
+    def sink(model: dict[str, Any], epoch_id: int) -> None:
+        render_pdf(model, path)
+
+    return sink
 
 
 def run_report_stream(

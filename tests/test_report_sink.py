@@ -123,10 +123,83 @@ def test_svg_sink_writes_atomically(histograms, tmp_path):
     assert not (tmp_path / "raport.svg.tmp").exists()
 
 
-def test_render_pdf_is_stubbed(histograms):
+def _xref_offsets(pdf: bytes) -> dict[int, int]:
+    """Parse the xref table: object number → byte offset. A mini
+    validator — a malformed table breaks every real viewer."""
+    startxref = int(pdf[pdf.rindex(b"startxref") :].split()[1])
+    assert pdf[startxref:].startswith(b"xref")
+    lines = pdf[startxref:].split(b"\n")
+    first, count = map(int, lines[1].split())
+    out = {}
+    for i in range(count):
+        off, _gen, kind = lines[2 + i].split()
+        if kind == b"n":
+            out[first + i] = int(off)
+    return out
+
+
+def test_render_pdf_structure_valid(histograms):
+    """Structural validity: header, xref offsets that actually point at
+    their objects, stream /Length values that match the bytes."""
+    import re
+
     model = report.report_model(histograms)
-    with pytest.raises(NotImplementedError):
-        report.render_pdf(model, "/tmp/raport.pdf")
+    pdf = report.render_pdf(model)
+    assert pdf.startswith(b"%PDF-1.4\n") and pdf.endswith(b"%%EOF\n")
+    offsets = _xref_offsets(pdf)
+    for num, off in offsets.items():
+        assert pdf[off:].startswith(f"{num} 0 obj".encode())
+    for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", pdf):
+        n = int(m.group(1))
+        assert pdf[m.end() + n : m.end() + n + 11] == b"\nendstream\n"
+    # one title page + one page per service (Raport.py PdfPages layout)
+    assert pdf.count(b"/Type /Page ") == 1 + len(model["services"])
+    assert pdf.count(b"/Type /Pages ") == 1
+
+
+def test_render_pdf_content_parity(histograms):
+    """Raport.py parity inside the content streams: title, count
+    labels, shares, per-service headings; home excluded. '(' is escaped
+    in PDF strings, hence the backslashes."""
+    model = report.report_model(histograms)
+    pdf = report.render_pdf(model)
+    assert "Raport analizy zachowa".encode() in pdf  # ż is re-encoded
+    assert rb"gitlab \(3\)" in pdf and rb"kafka \(2\)" in pdf
+    assert b"60.0%" in pdf  # gitlab share 3/5 (:155 autopct)
+    assert b"Raport serwisu: gitlab" in pdf
+    assert b"(home" not in pdf
+    # ż (0xC0+16 in the fixed encoding table) appears in the title, and
+    # the encoding object declares the glyph
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.pdfcanvas import (
+        encode_text,
+    )
+
+    assert encode_text(model["title"]) in pdf
+    assert b"/zdotaccent" in pdf
+    # pie slices: overall pie has 2 wedges; each 'h b' closes+paints one
+    assert pdf.count(b"h b") >= 2
+
+
+def test_render_pdf_matches_golden(histograms):
+    """Byte-stable: same model → same PDF (no timestamps, fixed
+    formatting). A diff means layout/labels/shares changed."""
+    import os
+
+    model = report.report_model(histograms)
+    pdf = report.render_pdf(model)
+    assert pdf == report.render_pdf(model)  # deterministic
+    golden = os.path.join(os.path.dirname(__file__), "golden", "raport.pdf")
+    with open(golden, "rb") as fh:
+        assert pdf == fh.read()
+
+
+def test_pdf_sink_writes_atomically(histograms, tmp_path):
+    model = report.report_model(histograms)
+    out = str(tmp_path / "raport.pdf")
+    report.pdf_sink(out)(model, epoch_id=0)
+    with open(out, "rb") as fh:
+        assert fh.read() == report.render_pdf(model)
+    assert not (tmp_path / "raport.pdf.tmp").exists()
 
 
 def test_login_lookup_and_register(spark, tmp_path):
