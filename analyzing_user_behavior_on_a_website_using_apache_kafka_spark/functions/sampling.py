@@ -122,3 +122,82 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY source, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+           CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq,
+           CAST((cum - 1) // {_PACK_BUDGET}
+                - (cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS n_splits
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in a
+    deterministic order (source, doc_id) and split it into fixed
+    {_PACK_BUDGET}-token training sequences; emit, per document, the
+    first/last sequence it lands in and how many sequence boundaries
+    cut through it. This is the packing step every pre-training
+    dataloader runs — zero padding waste, at the cost of boundary
+    splits (the n_splits column is exactly the stat you monitor when
+    tuning budget vs document length).
+
+    The global prefix-sum is the scale hazard: a single unbounded
+    window = one reducer owning the whole corpus. Two-phase instead:
+    per-SOURCE running sums (shuffle partitioned by source), plus a
+    source-level totals table (25ish rows) whose own running sum gives
+    each source's global offset — broadcast back and added. No stage
+    ever holds more than one source's rows, and the only global
+    ordering work happens on the tiny per-source totals. (Same trick
+    as a distributed scan/prefix-sum: local fold + offsets of fold
+    totals.)
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = d.select(
+        "doc_id", "source", F.size(words).cast("bigint").alias("n_tokens")
+    )
+    ws = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = tok.withColumn("scum", F.sum("n_tokens").over(ws))
+    totals = tok.groupBy("source").agg(F.sum("n_tokens").alias("stot"))
+    wo = W.orderBy("source").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "source", F.coalesce(F.sum("stot").over(wo), F.lit(0)).alias("off")
+    )
+    cum = F.col("off") + F.col("scum")
+    b = F.lit(_PACK_BUDGET)
+    first_seq = F.floor((cum - F.col("n_tokens")) / b).cast("bigint")
+    last_seq = F.floor((cum - 1) / b).cast("bigint")
+    return local.join(F.broadcast(offsets), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq).alias("n_splits"),
+    )

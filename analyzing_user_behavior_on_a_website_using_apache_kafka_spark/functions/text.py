@@ -604,3 +604,205 @@ def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(shingles).alias("min_shingle_fp"),
         )
     )
+
+
+_REP_TOP_WORD = 0.08  # top_word_frac above this → repetitive
+_REP_DUP_BIGRAM = 0.55  # dup_bigram_frac above this → repetitive
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS word FROM t)
+      GROUP BY doc_id, word
+    ),
+    tops AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc
+      GROUP BY doc_id
+    ),
+    ng AS (
+      SELECT doc_id,
+             len(w) - 1 AS n_bi,
+             len(list_distinct(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> array_to_string(list_slice(w, i, i + 1), ' ')))) AS d_bi,
+             len(w) - 2 AS n_tri,
+             len(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS d_tri
+      FROM t
+    )
+    SELECT t.doc_id AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+           ROUND(1.0 - CAST(d_bi AS DOUBLE) / GREATEST(n_bi, 1), 6)
+             AS dup_bigram_frac,
+           ROUND(1.0 - CAST(d_tri AS DOUBLE) / GREATEST(n_tri, 1), 6)
+             AS dup_trigram_frac,
+           CAST(CAST(top_c AS DOUBLE) / n_words > {_REP_TOP_WORD}
+                OR 1.0 - CAST(d_bi AS DOUBLE) / GREATEST(n_bi, 1)
+                   > {_REP_DUP_BIGRAM} AS INT) AS is_repetitive
+    FROM t JOIN tops ON t.doc_id = tops.doc_id
+           JOIN ng ON t.doc_id = ng.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document fraction of
+    duplicated bigrams/trigrams and the share of the most frequent
+    word, plus the composite keep/drop flag — the standard repetition
+    gate ahead of LLM training (boilerplate, keyword-stuffed spam, and
+    template pages all trip it).
+
+    ZERO-shuffle design: every statistic is a per-row expression over
+    the token array. The most-frequent-word count — normally an
+    explode + groupBy(doc_id, word) shuffle — is instead the longest
+    run in the SORTED token array, computed by one linear
+    ``aggregate`` fold; n-gram duplication is
+    ``1 - distinct_ngrams/ngrams`` via ``array_distinct``. The whole
+    query is a map over the scan: at 100 TB it is embarrassingly
+    parallel, no exchange, no skew surface.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    # longest run in the sorted array == count of the most frequent word
+    run = F.aggregate(
+        F.sort_array(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == acc.prev, acc.run).otherwise(F.lit(0)) + 1).alias(
+                "run"
+            ),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run).otherwise(F.lit(0)) + 1,
+            ).alias("best"),
+        ),
+    )
+    top_c = run.best
+
+    def ngrams(n: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - n + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+
+    n_bi = F.greatest(n_words - 1, F.lit(1))
+    n_tri = F.greatest(n_words - 2, F.lit(1))
+    dup_bi = 1.0 - F.size(F.array_distinct(ngrams(2))).cast("double") / n_bi
+    dup_tri = 1.0 - F.size(F.array_distinct(ngrams(3))).cast("double") / n_tri
+    top_frac = top_c.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup_bi, 6).alias("dup_bigram_frac"),
+        F.round(dup_tri, 6).alias("dup_trigram_frac"),
+        ((top_frac > _REP_TOP_WORD) | (dup_bi > _REP_DUP_BIGRAM))
+        .cast("int")
+        .alias("is_repetitive"),
+    )
+
+
+_DECON_G = 8  # contamination n-gram width (docs are >= 10 tokens)
+_BENCH_SOURCE = "src0"  # the fixture source standing in for an eval set
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - {_DECON_G} + 1),
+               i -> md5(array_to_string(
+                      list_slice(w, i, i + {_DECON_G} - 1), ' ')))))
+               AS gram
+      FROM t WHERE len(w) >= {_DECON_G}
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM g WHERE source = '{_BENCH_SOURCE}'
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS c
+      FROM g JOIN bench USING (gram)
+      WHERE g.source <> '{_BENCH_SOURCE}'
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id AS doc_id, d.source AS source,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_shared_grams,
+           CAST(COALESCE(c, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.source <> '{_BENCH_SOURCE}'
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    {_DECON_G}-token shingle with the held-out eval set (here: the
+    '{_BENCH_SOURCE}' source) — the n-gram-overlap check every serious
+    LLM corpus runs so test questions don't leak into training data.
+
+    Scale shape: the eval set is benchmark-sized (MBs), so its distinct
+    gram fingerprints BROADCAST — the training corpus is never
+    shuffled, just flatMapped to (doc_id, gram_md5) and filtered by the
+    broadcast hash join, then one groupBy(doc_id) with map-side
+    combine. Grams ride as 32-byte md5 fingerprints, not raw strings.
+    The broadcast hint sits above a Deduplicate over a single-source
+    filter — cardinality-reduced, so the fact-table broadcast guard
+    allows it by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - _DECON_G + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, _DECON_G))),
+        )
+    )
+    exploded = (
+        d.filter(F.size(words) >= _DECON_G)
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+    )
+    bench = (
+        exploded.filter(F.col("source") == _BENCH_SOURCE)
+        .select("gram")
+        .distinct()
+    )
+    train = exploded.filter(F.col("source") != _BENCH_SOURCE)
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        d.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias(
+                "n_shared_grams"
+            ),
+            (F.coalesce(F.col("c"), F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -11,6 +11,7 @@ pages are read.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -296,4 +297,59 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_BUCKETS = 8  # both sides bucketed by custkey into the same bucket count
+
+
+@query(
+    "q_sink_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + co-located join: write orders and customer
+    ``bucketBy(custkey)`` into the same bucket count, then join the two
+    bucketed tables — Spark's scan reports the bucket spec and the join
+    needs NO exchange on either side (asserted in test_plans.py with
+    broadcast disabled).
+
+    THE physical design for a repeatedly-joined 100 TB fact/dim pair:
+    the shuffle is paid once at write time; every subsequent join,
+    groupBy, or MERGE keyed on custkey is exchange-free because file
+    layout IS the hash partitioning. sortBy within buckets additionally
+    lets SortMergeJoin skip its sort. This is what "pre-partition the
+    storage, not the job" means in practice; with 1000 executors the
+    join stage reads co-located bucket pairs with zero network traffic.
+    """
+    wh = tempfile.mkdtemp(prefix="aub_bucketed_")
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        sfx = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir))
+        name = f"aub_bkt_{tbl}_{sfx}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(wh, tbl))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )

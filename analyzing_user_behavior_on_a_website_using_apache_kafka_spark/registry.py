@@ -81,6 +81,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_event_dwell",
     "q_path_topk",
     "q_growth_accounting",
+    # training-data-pipeline additions (round 3, second wave)
+    "q_text_repetition",
+    "q_text_decontaminate",
+    "q_pack_sequences",
+    "q_sink_bucketed",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -93,19 +98,19 @@ _PRIORITY: tuple[str, ...] = (
     # (q_win_rank / q_sql_report demoted this round: r02-green,
     # unchanged; their families stay covered by q_win_first_last /
     # q_sql_window inside the window)
-    # UDF ladder (q_udtf_python demoted this round: r02-green, unchanged;
-    # its bigram semantics are re-covered by the new q_text_ngram_counts)
-    "q_udf_pandas",
+    # UDF ladder (q_udtf_python AND q_udf_pandas demoted this round:
+    # both r02-green, unchanged; the family keeps q_udf_cogroup,
+    # q_udtf_explode, and q_udaf_grouped inside the window)
     # dedup ladder
     # (q_dedup_simhash / q_dedup_embed_cosine demoted this round: both
     # rows-only — their driver rows add no hash evidence — and both
-    # have r02 rows plus recall/property gates in tests)
-    "q_dedup_exact",
+    # have r02 rows plus recall/property gates in tests;
+    # q_dedup_exact also demoted: r02-green, unchanged, trivial plan)
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
-    # text analysis (q_text_langid / q_text_quality demoted this round:
-    # r02-green, unchanged; the family keeps 8 other rows in-window)
-    "q_text_tfidf",
+    # text analysis (q_text_langid / q_text_quality / q_text_tfidf
+    # demoted: r02-green, unchanged; the family keeps 9 other rows
+    # in-window including the two new gates)
     "q_pipeline_curate",
     # sampling (q_split_train_test demoted: r02-green, unchanged;
     # family keeps q_sample_hash + q_sample_mixture)
@@ -123,8 +128,10 @@ _PRIORITY: tuple[str, ...] = (
     # streaming (near-full family: state machinery regressions are
     # silent; q_stream_kafka_source demoted — r02-green pass-through
     # scan, least stateful of the family)
+    # (q_stream_sliding demoted this round: r02-green, unchanged;
+    # windowed-agg state stays covered by tumbling + session +
+    # watermark_late)
     "q_stream_tumbling",
-    "q_stream_sliding",
     "q_stream_session",
     "q_stream_watermark_late",
     "q_stream_complete_agg",

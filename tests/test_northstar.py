@@ -311,3 +311,72 @@ def test_decode_media_is_stubbed(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         next(decode_media(iter([])))
+
+
+def test_pack_sequences_tiles_the_token_stream(spark, sf_dir):
+    """Packing invariants: documents tile the concatenated token stream
+    exactly — in (source, doc_id) order each doc starts where the
+    previous ended, first/last sequence ids are consistent with token
+    counts, and total sequences == ceil(total_tokens / budget)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sampling import (
+        _PACK_BUDGET,
+    )
+
+    rows = (
+        registry.all_queries()["q_pack_sequences"](spark, sf_dir)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    cum = 0
+    for r in rows:
+        assert r.first_seq == cum // _PACK_BUDGET, r
+        cum += r.n_tokens
+        assert r.last_seq == (cum - 1) // _PACK_BUDGET, r
+        assert r.n_splits == r.last_seq - r.first_seq
+    assert rows[-1].last_seq == (cum - 1) // _PACK_BUDGET
+    # every sequence id in [0, last] is covered by some document
+    covered = set()
+    for r in rows:
+        covered.update(range(r.first_seq, r.last_seq + 1))
+    assert covered == set(range(rows[-1].last_seq + 1))
+
+
+def test_decontaminate_flags_exact_benchmark_overlap(spark, sf_dir):
+    """A training doc sharing a full 8-gram with a benchmark doc must be
+    flagged; recompute the overlap in Python on the collected fixture
+    and compare the flag sets exactly."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.text import (
+        _BENCH_SOURCE,
+        _DECON_G,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def grams(text):
+        w = [t for t in text.split(" ") if t]
+        return {
+            " ".join(w[i : i + _DECON_G])
+            for i in range(len(w) - _DECON_G + 1)
+        }
+
+    bench = set()
+    for r in docs:
+        if r.source == _BENCH_SOURCE:
+            bench |= grams(r.text)
+    expect = {
+        r.doc_id: len(grams(r.text) & bench)
+        for r in docs
+        if r.source != _BENCH_SOURCE
+    }
+    got = {
+        r.doc_id: r.n_shared_grams
+        for r in registry.all_queries()["q_text_decontaminate"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect

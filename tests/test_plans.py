@@ -285,3 +285,30 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter"
             ".applicationSideScanSizeThreshold"
         )
+
+
+def test_repetition_stats_are_map_only(spark, sf_dir):
+    """q_text_repetition advertises a ZERO-shuffle design (the mode-
+    of-array trick replaces the explode+groupBy); hold it to that —
+    any Exchange in the plan means the map-only claim regressed."""
+    df = registry.all_queries()["q_text_repetition"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_sink_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The registered bucketed-sink query must join WITHOUT exchanging
+    either side on the join key (bucket layout = pre-paid shuffle).
+    Broadcast is disabled so the cheap path can't mask a regression;
+    the only Exchange allowed is the final groupBy(c_mktsegment)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.all_queries()["q_sink_bucketed"](spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(o_custkey" not in plan, plan
+        assert "hashpartitioning(c_custkey" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
