@@ -201,3 +201,78 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seq.alias("last_seq"),
         (last_seq - first_seq).alias("n_splits"),
     )
+
+
+_STRAT_K = 40  # exact per-source sample size
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)
+                          % 100,
+                        md5(text), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_STRAT_K}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: the {_STRAT_K} first documents of each
+    source in deterministic content-hash order — eval-set carving and
+    per-source inspection samples need EXACT counts, which the rate-based
+    samplers (q_sample_hash / q_sample_mixture) can't promise.
+
+    The naive plan — row_number over every source — shuffles the WHOLE
+    corpus to rank rows of which only k survive. This plan pre-thins
+    first, exactly: the sample order's PRIMARY key is the hash bucket,
+    so the k winners of a source all sit in its lowest-populated
+    buckets. Per-source totals (a tiny aggregate) set an adaptive
+    bucket-rate targeting ~3k survivors; a second tiny aggregate checks
+    each source actually kept >= min(k, n) rows, and only the (Chernoff-
+    improbable) under-thinned sources fall back to their full rows. The
+    expensive window therefore ranks ~3k rows per source instead of the
+    corpus — at 100 TB the shuffle carries ~0.01% of the data. All
+    decisions are DataFrame aggregates (broadcast back, never
+    collected), and membership is hash-deterministic across runs,
+    engines, and backfills like every sampler in this module.
+    """
+    from pyspark.sql import Window as W
+
+    k = _STRAT_K
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d2 = d.withColumn("b", hash_bucket(F.col("text")))
+    totals = d2.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    rates = totals.select(
+        "source",
+        "n",
+        F.least(
+            F.greatest(F.ceil(F.lit(300 * k) / F.col("n")), F.lit(1)),
+            F.lit(100),
+        ).alias("rate"),
+    )
+    thinned = d2.join(F.broadcast(rates), "source").filter(
+        F.col("b") < F.col("rate")
+    )
+    surv = thinned.groupBy("source").agg(F.count(F.lit(1)).alias("n_surv"))
+    ok = (
+        surv.join(rates, "source")
+        .filter(F.col("n_surv") >= F.least(F.lit(k), F.col("n")))
+        .select("source")
+    )
+    base = (
+        thinned.select("doc_id", "source", "text", "b")
+        .join(F.broadcast(ok), "source", "semi")
+        .unionByName(d2.join(F.broadcast(ok), "source", "left_anti"))
+    )
+    w = W.partitionBy("source").orderBy("b", F.md5("text"), "doc_id")
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )

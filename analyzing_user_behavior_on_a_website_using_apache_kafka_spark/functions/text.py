@@ -806,3 +806,65 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+               AS w
+      FROM documents
+    ),
+    lm AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM lm
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logprob
+    FROM tok JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM scoring: per-document mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to rank web documents by "naturalness"
+    before an expensive model-based filter (docs full of rare junk
+    tokens score far below fluent text; the score feeds a quantile cut).
+
+    Scale shape: the LM build is one groupBy(word) whose output is
+    VOCABULARY-sized, not corpus-sized; the corpus→LM join is an
+    equi-join on the word key in which the LM side arrives already
+    hash-partitioned by word from its own aggregation, so Spark reuses
+    that exchange — only the token stream shuffles, once, and the same
+    partitioning serves both the count and the probability lookup. The
+    corpus total is a 1-row aggregate crossJoin-broadcast (the lazy-N
+    pattern of q_text_tfidf, text.py:296-308) — no driver action. At
+    100 TB the vocabulary may still be big enough that broadcasting it
+    would OOM executors — the shuffle join is the right default; AQE
+    downgrades it to broadcast automatically when the LM side measures
+    small. Log terms are order-summed differently per engine; at double
+    precision the drift is ~1e-12, so ROUND(…, 6) pins the hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

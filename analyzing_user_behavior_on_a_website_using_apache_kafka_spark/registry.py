@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_decontaminate",
     "q_pack_sequences",
     "q_sink_bucketed",
+    "q_text_unigram_logprob",
+    "q_sample_stratified",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -112,9 +114,9 @@ _PRIORITY: tuple[str, ...] = (
     # demoted: r02-green, unchanged; the family keeps 9 other rows
     # in-window including the two new gates)
     "q_pipeline_curate",
-    # sampling (q_split_train_test demoted: r02-green, unchanged;
-    # family keeps q_sample_hash + q_sample_mixture)
-    "q_sample_hash",
+    # sampling (q_split_train_test / q_sample_hash demoted: both
+    # r02-green, unchanged, trivial map-only plans; family keeps
+    # q_sample_mixture + the new q_sample_stratified in-window)
     # multimodal
     "q_multimodal_cols",
     # similarity (q_sim_ivf demoted: rows-only row adds no hash
@@ -138,8 +140,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_stream_join",
     "q_stream_stream_left",
     "q_stream_custom_state",
-    # core-aggregate regression representative (slot 50)
-    "q_agg_count_by",
+    # (q_agg_count_by demoted this round: r01-green, unchanged, trivial;
+    # the aggregate family keeps q_agg_stats / q_agg_sketch_merge /
+    # q_agg_approx_quantile in-window.)
     # Everything demoted is driver-green (r01/r02) and unchanged.
 )
 

@@ -380,3 +380,86 @@ def test_decontaminate_flags_exact_benchmark_overlap(spark, sf_dir):
         ).collect()
     }
     assert got == expect
+
+
+def test_stratified_sample_is_exact_k_and_matches_naive_window(
+    spark, sf_dir
+):
+    """The adaptive pre-thin + fallback must be invisible: the result
+    equals the naive whole-corpus window rank, and every source yields
+    exactly min(k, n_source) rows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sampling import (
+        _STRAT_K,
+        hash_bucket,
+    )
+
+    got = sorted(
+        (r.doc_id, r.source, r.rk)
+        for r in registry.all_queries()["q_sample_stratified"](
+            spark, sf_dir
+        ).collect()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        hash_bucket(F.col("text")), F.md5("text"), "doc_id"
+    )
+    naive = sorted(
+        (r.doc_id, r.source, r.rk)
+        for r in d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRAT_K)
+        .collect()
+    )
+    assert got == naive
+    per_source = {}
+    for _, src, _ in got:
+        per_source[src] = per_source.get(src, 0) + 1
+    totals = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source == {
+        s: min(_STRAT_K, n) for s, n in totals.items()
+    }
+
+
+def test_unigram_logprob_ranks_rare_token_docs_lower(spark, sf_dir):
+    """Sanity on the quality signal: recompute the unigram LM in Python
+    on the collected fixture and compare per-doc scores; the doc whose
+    tokens are rarest corpus-wide must rank lowest."""
+    import math
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    lm: dict[str, int] = {}
+    toks = {}
+    for r in docs:
+        ws = [t for t in r.text.split(" ") if t]
+        toks[r.doc_id] = ws
+        for t in ws:
+            lm[t] = lm.get(t, 0) + 1
+    n = float(sum(lm.values()))
+    expect = {
+        d: round(sum(math.log(lm[t] / n) for t in ws) / len(ws), 6)
+        for d, ws in toks.items()
+    }
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in registry.all_queries()["q_text_unigram_logprob"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for d in got:
+        assert abs(got[d] - expect[d]) < 1e-5, d
+    assert min(got, key=got.get) == min(expect, key=expect.get)
