@@ -681,3 +681,83 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("sim") >= 0.9, 1).otherwise(0).alias("is_near_dup"),
         )
     )
+
+
+_INGEST_SPLIT = 80  # hash buckets < 80 = already-ingested corpus; rest = batch
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH bkt AS (
+      SELECT doc_id, source, text,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+      FROM documents
+    )
+    SELECT n.doc_id AS doc_id, n.source AS source,
+           CAST(md5(n.text) NOT IN
+                (SELECT md5(text) FROM bkt WHERE b < {_INGEST_SPLIT})
+                AS INT) AS is_new
+    FROM bkt n WHERE n.b >= {_INGEST_SPLIT}
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: flag which documents of a NEW batch are
+    unseen vs the already-ingested corpus — the production dedup flow,
+    where the corpus is 100 TB of history and each day's ingest is a
+    sliver that must never force a full-corpus reshuffle. (The fixture
+    stands in deterministic halves: content-hash buckets < {_INGEST_SPLIT}
+    are "corpus", the rest are "the batch" — same split machinery as
+    sampling.hash_bucket, so both engines carve identical sides.)
+
+    Scale design: the corpus is represented by its FINGERPRINT INDEX —
+    16-byte md5 per doc, maintained as a bucketed table
+    (``bucketBy(fingerprint)``, the q_sink_bucketed layout) so the
+    index side of the membership join needs NO exchange and NO sort on
+    any ingest run; only the batch (the small side, repartitioned by
+    fingerprint into matching buckets by the join itself) shuffles.
+    Asserted in test_plans.py with broadcast disabled: the index scan
+    feeds the SortMergeJoin with neither Exchange nor Sort on its side.
+    Ingest then appends the batch's new fingerprints into the same
+    bucketed layout, keeping the index join-ready for tomorrow's batch
+    without ever rewriting history.
+    """
+    import os as _os
+    import re as _re
+    import tempfile as _tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    # index column named fp_idx (not fp) so plan tests can tell the two
+    # sides of the membership join apart in Exchange nodes
+    corpus_fp = (
+        d.filter(b < _INGEST_SPLIT)
+        .select(F.md5("text").alias("fp_idx"))
+        .distinct()
+    )
+    sfx = _re.sub(r"[^0-9a-zA-Z]", "_", _os.path.basename(sf_dir))
+    name = f"aub_fp_index_{sfx}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = _tempfile.mkdtemp(prefix="aub_fp_index_")
+    (
+        corpus_fp.write.bucketBy(8, "fp_idx")
+        .sortBy("fp_idx")
+        .option("path", _os.path.join(wh, "fp"))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    index = spark.table(name)
+    batch = d.filter(b >= _INGEST_SPLIT).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    return (
+        batch.join(index, batch.fp == index.fp_idx, "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("fp_idx").isNull().cast("int").alias("is_new"),
+        )
+    )

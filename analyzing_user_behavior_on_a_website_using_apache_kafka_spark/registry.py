@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sink_bucketed",
     "q_text_unigram_logprob",
     "q_sample_stratified",
+    "q_dedup_incremental",
     # --- queries CHANGED this round (need fresh driver rows) ---
     "q_udaf_grouped",  # re-keyed on user_id
     "q_sink_upsert",  # checkpointed read-before-overwrite
@@ -117,8 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     # sampling (q_split_train_test / q_sample_hash demoted: both
     # r02-green, unchanged, trivial map-only plans; family keeps
     # q_sample_mixture + the new q_sample_stratified in-window)
-    # multimodal
-    "q_multimodal_cols",
+    # multimodal (q_multimodal_cols demoted this round: r02-green,
+    # unchanged; the family keeps features + framesample — both
+    # re-oracled this round — in-window)
     # similarity (q_sim_ivf demoted: rows-only row adds no hash
     # evidence; recall gates pin it in tests)
     "q_sim_topk_bruteforce",

@@ -60,6 +60,14 @@ HEADLINE = [
 EXTENDED = [
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
+    # round-3 training-pipeline additions whose plans shuffle the
+    # corpus (decontaminate: gram flatMap + broadcast semi-join;
+    # unigram LM: vocab agg + exchange-reused word join; packing:
+    # two-phase prefix sum) — tracked here so their wall-times are
+    # visible without disturbing the 14-query headline series.
+    "q_text_decontaminate",
+    "q_text_unigram_logprob",
+    "q_pack_sequences",
 ]
 
 

@@ -106,6 +106,7 @@ _BNLJ_ALLOWED = {
     "q_join_theta_range",  # literal 5-row band table broadcast
     "q_sim_topk_bruteforce",  # 5-probe set broadcast (two-phase top-k)
     "q_text_tfidf",  # 1-row corpus-size aggregate broadcast
+    "q_text_unigram_logprob",  # 1-row corpus-total aggregate broadcast
     "q_sim_ivf",  # probes × k-centroids routing cross (5 × 16 rows)
 }
 
@@ -308,6 +309,28 @@ def test_sink_bucketed_join_is_exchange_free(spark, sf_dir):
         assert "SortMergeJoin" in plan
         assert "hashpartitioning(o_custkey" not in plan, plan
         assert "hashpartitioning(c_custkey" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_incremental_dedup_index_side_is_exchange_and_sort_free(
+    spark, sf_dir
+):
+    """The fingerprint index is bucketed+sorted on fp_idx, so the
+    membership SMJ must need NO Exchange and NO Sort on the index
+    side — only the (small) batch side repartitions. Broadcast is
+    disabled so the cheap path can't mask a layout regression."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.all_queries()["q_dedup_incremental"](spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(fp#" in plan.replace(
+            "hashpartitioning(fp_idx", "X"
+        ) or "hashpartitioning(fp," in plan, plan
+        assert "hashpartitioning(fp_idx" not in plan, plan
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
