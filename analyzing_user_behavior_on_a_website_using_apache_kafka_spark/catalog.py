@@ -48,17 +48,26 @@ def table_path(sf_dir: str, name: str) -> str:
 def normalize(name: str, df: DataFrame) -> DataFrame:
     """Schema normalization applied to every scan (batch and streaming).
 
-    events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    int64 nanoseconds and is converted here to a microsecond
-    TimestampType via integer division (`div 1000` — no double rounding),
-    matching DuckDB's ns→us truncation so the oracle sees identical
-    instants.
+    events.ts has shipped in two physical shapes across fixture
+    regenerations, and BOTH must keep working:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as int64
+      nanoseconds and is converted here to a microsecond TimestampType
+      via integer division (`div 1000` — no double rounding), matching
+      DuckDB's ns→us truncation so the oracle sees identical instants.
+    - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+      TIMESTAMP_NTZ, which breaks ``unix_millis`` and ``withWatermark``
+      (both demand TIMESTAMP). Cast to TimestampType — the session tz is
+      pinned UTC (session.py), so the stored micros map to the same
+      instant DuckDB reads, and oracle parity holds.
     """
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -66,15 +75,28 @@ def ensure_reader_conf(spark: SparkSession, name: str) -> None:
     """Make any caller's session able to read the fixtures.
 
     The driver harness builds its own SparkSession without our confs;
-    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so set
-    it defensively — without it Spark 4 rejects the events table's
-    TIMESTAMP(NANOS). Applies to batch and streaming reads alike.
+    both confs below are runtime-settable, so set them defensively:
+
+    - ``nanosAsLong=true``: without it Spark 4 rejects a
+      TIMESTAMP(NANOS) events fixture outright.
+    - ``inferTimestampNTZ.enabled=false``: a timestamp[us]
+      isAdjustedToUTC=false fixture otherwise infers TIMESTAMP_NTZ,
+      which ``withWatermark``/``unix_millis`` reject. Disabling the
+      inference reads the stored micros as plain TIMESTAMP (UTC session
+      tz ⇒ same instants DuckDB sees). ``normalize`` still handles the
+      NTZ shape for sessions where this conf is locked.
+
+    Applies to batch and streaming reads alike.
     """
     if name == "events":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # pragma: no cover - conf locked down
-            pass
+        for key, val in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ):
+            try:
+                spark.conf.set(key, val)
+            except Exception:  # pragma: no cover - conf locked down
+                pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

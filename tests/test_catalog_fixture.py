@@ -1,0 +1,111 @@
+"""Fixture-schema tripwire (VERDICT r3 item 2).
+
+The driver regenerates /root/testdata fixtures between rounds and has now
+shipped events.ts in two physical parquet shapes:
+
+- round ≤2: TIMESTAMP(NANOS)  -> read as int64 under nanosAsLong
+- round 3:  timestamp[us], isAdjustedToUTC=false -> inferred TIMESTAMP_NTZ
+
+Round 3 broke 7 queries because catalog.normalize only handled the first
+shape. These tests write BOTH shapes to tmp synthetically and assert that
+``load_table`` always yields ``ts: TimestampType`` carrying the same
+instants — so the next driver-side fixture regeneration is caught here,
+not by the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import catalog
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources import (
+    file_stream,
+)
+
+# One known instant: 2024-03-05 06:07:08.123456 UTC.
+_MICROS = 1_709_618_828_123_456
+
+
+def _base_columns(ts_array: pa.Array, ts_field: pa.Field) -> pa.Table:
+    n = len(ts_array)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.5] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    ).set_column(1, ts_field, ts_array)
+
+
+def _write_events(tmp_path, shape: str) -> str:
+    """Write a tiny events.parquet in the given physical shape; return sf_dir."""
+    micros = [_MICROS + i * 1_000_000 for i in range(5)]
+    if shape == "nanos":
+        arr = pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+        field = pa.field("ts", pa.timestamp("ns"))
+    elif shape == "us_ntz":
+        arr = pa.array(micros, pa.timestamp("us"))  # isAdjustedToUTC=false
+        field = pa.field("ts", pa.timestamp("us"))
+    elif shape == "us_utc":
+        arr = pa.array(micros, pa.timestamp("us", tz="UTC"))
+        field = pa.field("ts", pa.timestamp("us", tz="UTC"))
+    else:  # pragma: no cover
+        raise ValueError(shape)
+    sf_dir = str(tmp_path / f"sf_{shape}")
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(_base_columns(arr, field), os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+@pytest.mark.parametrize("shape", ["nanos", "us_ntz", "us_utc"])
+def test_load_table_always_yields_timestamp_ts(spark, tmp_path, shape):
+    sf_dir = _write_events(tmp_path, shape)
+    df = catalog.load_table(spark, sf_dir, "events")
+    dt = df.schema["ts"].dataType
+    assert isinstance(dt, T.TimestampType), (
+        f"events.ts read from a {shape} fixture must normalize to "
+        f"TimestampType (got {dt}) — unix_millis/withWatermark reject "
+        f"anything else"
+    )
+    # Same instants regardless of physical shape (UTC session tz).
+    got = [r.ms for r in df.selectExpr("unix_millis(ts) AS ms").collect()]
+    assert sorted(got) == [_MICROS // 1000 + i * 1000 for i in range(5)]
+
+
+@pytest.mark.parametrize("shape", ["nanos", "us_ntz"])
+def test_stream_table_ts_is_watermarkable(spark, tmp_path, shape):
+    """withWatermark is the strictest consumer — it must accept ts directly
+    off stream_table for every fixture shape (r3's driver failure mode)."""
+    sf_dir = _write_events(tmp_path, shape)
+    sdf = file_stream.stream_table(spark, sf_dir, "events")
+    assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
+    wm = sdf.withWatermark("ts", "10 minutes")  # raises AnalysisException if NTZ
+    out = file_stream.run_to_memory(
+        wm.groupBy("event_type").count(), output_mode="complete"
+    )
+    rows = out.collect()
+    assert [(r["event_type"], r["count"]) for r in rows] == [("click", 5)]
+
+
+def test_normalize_handles_ntz_even_without_reader_conf(spark, tmp_path):
+    """If inferTimestampNTZ can't be disabled (locked conf), normalize's
+    NTZ branch must still rescue the schema."""
+    sf_dir = _write_events(tmp_path, "us_ntz")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        assert isinstance(raw.schema["ts"].dataType, T.TimestampNTZType)
+        fixed = catalog.normalize("events", raw)
+        assert isinstance(fixed.schema["ts"].dataType, T.TimestampType)
+        ms = [r.ms for r in fixed.selectExpr("unix_millis(ts) AS ms").collect()]
+        assert sorted(ms) == [_MICROS // 1000 + i * 1000 for i in range(5)]
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -111,6 +111,56 @@ _BNLJ_ALLOWED = {
 }
 
 
+def _sweep_batch_queries(spark, sf_dir, check, skip=()):
+    """Run ``check(name, df)`` over every registered batch query,
+    ISOLATING per-query failures: one broken query must not void guard
+    coverage for the other 126 (VERDICT r3 item 3 — the r3 NTZ break
+    crashed all three sweeps on the first AnalysisException, silencing
+    their signal). Collects (name, error) pairs and fails with the full
+    list at the end."""
+    failures: list[str] = []
+    for name, fn in registry.all_queries().items():
+        if name.startswith("q_stream_") or name in skip:
+            continue  # streaming plans resolve at run time
+        try:
+            check(name, fn(spark, sf_dir))
+        except AssertionError as e:
+            failures.append(f"{name}: guard violated: {e}")
+        except Exception as e:  # build/analysis crash — still a failure
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:300]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_sweep_isolates_per_query_failures(spark, sf_dir, monkeypatch):
+    """The isolation property itself: one query that CRASHES at build
+    time must not stop the sweep from checking (and reporting) the
+    rest. Exactly the r3 failure mode, reproduced deliberately."""
+
+    def boom(_spark, _sf):
+        raise RuntimeError("synthetic build crash")
+
+    def violate(spark_, sf_):
+        return load_table(spark_, sf_, "nation").limit(1)
+
+    monkeypatch.setattr(
+        registry,
+        "all_queries",
+        lambda: {"q_fake_crash": boom, "q_fake_violation": violate},
+    )
+
+    def check(name, df):
+        assert name != "q_fake_violation", "deliberate guard violation"
+
+    try:
+        _sweep_batch_queries(spark, sf_dir, check)
+    except AssertionError as e:
+        msg = str(e)
+        assert "q_fake_crash" in msg and "synthetic build crash" in msg
+        assert "q_fake_violation" in msg and "deliberate guard violation" in msg
+    else:
+        raise AssertionError("sweep should have failed on both fakes")
+
+
 def test_no_query_plans_cartesian_or_rogue_bnlj(spark, sf_dir):
     """Across the ENTIRE registered batch surface: no CartesianProduct,
     and BroadcastNestedLoopJoin only where the build side is provably
@@ -118,15 +168,16 @@ def test_no_query_plans_cartesian_or_rogue_bnlj(spark, sf_dir):
     against the all-pairs/full-broadcast class of 100 TB killers —
     including the two round-1 offenders (embed-cosine, ngram-jaccard)
     and any future regression."""
-    qs = registry.all_queries()
-    for name, fn in qs.items():
-        if name.startswith("q_stream_"):
-            continue  # streaming plans resolve at run time
-        df = fn(spark, sf_dir)
+
+    def check(name, df):
         plan = plans.formatted_plan(df)
-        assert "CartesianProduct" not in plan, name
+        assert "CartesianProduct" not in plan, "CartesianProduct in plan"
         if name not in _BNLJ_ALLOWED:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+            ), "rogue BroadcastNestedLoopJoin"
+
+    _sweep_batch_queries(spark, sf_dir, check)
 
 
 def test_windows_always_partitioned(spark, sf_dir):
@@ -134,13 +185,12 @@ def test_windows_always_partitioned(spark, sf_dir):
     unaggregated input — an empty partition spec moves the entire input
     to one reducer, the canonical single-node wall at 100 TB. (Windows
     over a prior Aggregate are exempt: their input is O(groups).)"""
-    qs = registry.all_queries()
-    for name, fn in qs.items():
-        if name.startswith("q_stream_"):
-            continue
-        df = fn(spark, sf_dir)
+
+    def check(name, df):
         n = plans.unpartitioned_window_count(df)
-        assert n == 0, f"{name}: {n} unpartitioned Window node(s)"
+        assert n == 0, f"{n} unpartitioned Window node(s)"
+
+    _sweep_batch_queries(spark, sf_dir, check)
 
 
 def test_partitioned_read_prunes_partitions(spark, sf_dir):
@@ -171,15 +221,12 @@ def test_no_fact_scaled_table_is_broadcast_hinted(spark, sf_dir):
     distinguish from a scaling filter, so these three are exempted by
     name with the bound stated."""
     probe_set_bounded = {"q_sim_topk_bruteforce", "q_sim_ivf", "q_sim_ann"}
-    qs = registry.all_queries()
-    for name, fn in qs.items():
-        if name.startswith("q_stream_"):
-            continue  # streaming plans resolve at run time (source check below)
-        if name in probe_set_bounded:
-            continue
-        df = fn(spark, sf_dir)
+
+    def check(name, df):
         bad = plans.unreduced_fact_broadcast_hints(df)
-        assert not bad, f"{name}: {bad}"
+        assert not bad, f"fact-scaled broadcast hint(s): {bad}"
+
+    _sweep_batch_queries(spark, sf_dir, check, skip=probe_set_bounded)
 
 
 def test_streaming_jobs_source_has_no_broadcast_hint():
