@@ -427,47 +427,108 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """(doc_id) × (u, v) → (doc_id, label) with label = component min —
-    the min-label-propagation core of q_dedup_clusters, reusable for any
-    node/edge set (property-tested against a Python union-find)."""
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, alg. 2): every node u
+    re-links each STRICTLY LARGER neighbor v to m = min(Γ(u) ∪ {u}).
+    Connectivity-preserving; larger-than-center chains collapse toward
+    the local minimum. One groupBy + one join, both on u."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
-    prev_sum = None
-    converged = False
-    for _ in range(_CC_MAX_ITERS):
-        neighbor_min = (
-            sym.join(labels, sym.u == labels.doc_id)
-            .groupBy(F.col("v").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then every
+    node u re-links its (all smaller) neighbors AND itself to
+    m = min(Γ⁻(u) ∪ {u}). Turns shallow trees into stars."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """(doc_id) × (u, v) → (doc_id, label) with label = component min.
+
+    Alternating small-star/large-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log n) rounds in
+    practice and provably O(log² n), INDEPENDENT of graph diameter. The
+    r3 min-label-propagation needed diameter rounds (a 100 TB web-crawl
+    dup graph has long chains → tens of full-edge-set shuffles) and gave
+    up loudly; this converges on a 10k-node path graph in ~15 rounds
+    (property-tested against a Python union-find and on high-diameter
+    paths in tests/test_properties.py).
+
+    Per round: 2 groupBy(u).min + 2 joins on u + distinct — all key-
+    partitioned shuffles of the CURRENT edge set, which shrinks toward
+    one star edge per non-root node. Convergence = canonical edge set
+    stable, detected from one (count, hash-sum) scalar pair per round;
+    `localCheckpoint` truncates the iterative lineage.
+    """
+    # canonical small→large orientation, self-loops dropped
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-proof under ANSI mode
+            # (summing raw 64-bit hashes overflows BIGINT)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    converged = sig[0] == 0  # edgeless graph: nothing to iterate
+    for _ in range(max_iters):
+        if converged:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = signature(e)
+        if cur == sig:
             converged = True
             break
-        prev_sum = cur_sum
+        sig = cur
     if not converged:
-        # silent fall-through would return WRONG labels (a component
-        # whose diameter exceeds the round budget still holds several
-        # provisional minima) — fail loudly instead
+        # silent fall-through would return WRONG labels (un-collapsed
+        # trees still hold provisional minima) — fail loudly instead
         raise RuntimeError(
             f"connected_components did not converge within "
-            f"{_CC_MAX_ITERS} rounds (graph diameter too large); "
-            "switch to small-star/large-star for this graph"
+            f"{max_iters} small-star/large-star rounds"
         )
-    return labels
+    # fixpoint is a star per component: u → component-min root. Isolated
+    # nodes (never in an edge) label themselves.
+    roots = e.select(
+        F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("r")
+    ).groupBy("doc_id").agg(F.min("r").alias("r"))
+    return nodes.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("r", F.col("doc_id")).alias("label")
+    )
 
 
 # --- SimHash --------------------------------------------------------------

@@ -43,9 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as raw int64 ns and normalize in catalog
+        # events.parquet has shipped as TIMESTAMP(NANOS) (rejected by the
+        # vectorized reader -> read as int64 ns) and as timestamp[us]
+        # isAdjustedToUTC=false (inferred NTZ, rejected by withWatermark);
+        # both confs below plus catalog.normalize keep either shape read
+        # as plain TIMESTAMP
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # The fixtures are single ~1-100 MB files; the 128 MB default
         # gives every scan ONE task on local[32]. 4 MB splits keep all
         # cores busy (measured ~2x on scan-bound queries). LOCAL-RIG
