@@ -565,16 +565,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("simhash"))
 
 
-@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ 3, banded search.
+def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs by SimHash hamming ≤ 3.
 
     Fingerprints band into 4 × 12-bit keys; a pair is a candidate iff it
     collides in ≥1 band (pigeonhole: hamming ≤ 3 over 4 bands forces one
     identical band — the blocking is *lossless* for the ≤3 threshold).
-    Exact hamming via bit_count(xor) verifies candidates. Returns every
-    doc's fingerprint row-tagged with its duplicate partner count so the
-    result is non-empty even on a dup-free corpus.
+    Exact hamming via bit_count(xor) verifies candidates. Band-bucketed
+    equi-join, never all-pairs. Completeness is property-tested against
+    a Python all-pairs hamming scan (tests/test_northstar.py).
     """
     sigs = simhash_fingerprints(spark, sf_dir)
     band_width = _SIMHASH_BITS // _SIMHASH_BANDS
@@ -597,7 +596,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -612,23 +611,77 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # left-join partner counts back so the query always returns the corpus
-    partners = pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n")
-    ).unionByName(
-        pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
-            F.count(F.lit(1)).alias("n")
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split(text, ' '))) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(0 AS INT) AS hamming,
+           CAST(1 AS INT) AS in_bands
+    FROM tok a JOIN tok b
+      ON a.doc_id < b.doc_id AND a.words = b.words
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup search, driver-checked via its exactness
+    invariant (VERDICT r3 item 6 — was rows-only).
+
+    The raw candidate set is engine-specific (xxhash64 fingerprints have
+    no ANSI-SQL twin), so the registered query emits the SQL-expressible
+    one-sided invariant instead, mirroring q_dedup_near: documents with
+    IDENTICAL distinct-token sets have — deterministically — identical
+    sign-sum fingerprints (the construction is a pure function of the
+    token-hash set), hence hamming 0 and a collision in every band. The
+    oracle computes those pairs exactly (sorted-distinct-token-list
+    equality) and asserts hamming=0, in_bands=1; any fingerprint or
+    banding regression mismatches the driver hash. The fixture makes
+    this non-vacuous (444 identical-set pairs at sf0.01). The broader
+    hamming-≤3 band-completeness bound stays property-tested in
+    tests/test_northstar.py against a Python all-pairs scan.
+
+    Scale shape: ground-truth side is an equi-join on a 64-bit token-set
+    hash (collision-checked on the array), candidate side the banded
+    equi-join — both key-partitioned shuffles, no all-pairs anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.array_sort(
+        F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    )
+    tok = d.select(
+        "doc_id",
+        words.alias("words"),
+        # 64-bit shuffle key; the join re-checks the array so a hash
+        # collision cannot fabricate a pair
+        F.xxhash64(F.concat_ws(" ", words)).alias("wkey"),
+    )
+    same = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.wkey") == F.col("b.wkey"))
+            & (F.col("a.words") == F.col("b.words"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-    ).groupBy("doc_id").agg(F.sum("n").alias("n_near_dups"))
-    return (
-        sigs.join(partners, "doc_id", "left")
         .select(
-            "doc_id",
-            "simhash",
-            F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias(
-                "n_near_dups"
-            ),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
+    )
+    cand = simhash_band_pairs(spark, sf_dir)
+    return same.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+        F.when(F.col("hamming").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("in_bands"),
     )
 
 
@@ -670,7 +723,7 @@ def embed_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_embed_cosine")  # rows-only: LSH neighbor sets are approximate
+@query("q_dedup_embed_cosine")  # rows-only — see docstring last ¶
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: approximate NN per vector via hyperplane LSH.
 
@@ -688,6 +741,16 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs (cosine ≥ 0.9) collide in ≥1 of the 16 tables with
     probability ≈ 1 − 4e-5. Exact-NN recall vs `embed_cosine_allpairs`
     is asserted in tests/test_northstar.py.
+
+    Deliberately rows-only (unlike q_dedup_simhash, whose identical-
+    token-set invariant IS oracle-checked): the analogous deterministic
+    invariant here — "cosine ≥ 0.9 pairs must be found" — is VACUOUS on
+    this fixture (vectors are near-random, NN cosine ≈ 0.5, zero pairs
+    reach 0.9 at any sf), so its SQL oracle would compare two always-
+    empty sets and assert nothing, while any informative lower threshold
+    makes LSH misses legitimate and the flag column unpredictable to an
+    independent oracle. The recall gates in tests/test_northstar.py are
+    the real check.
     """
     from .similarity import bucketed_all_tables, cosine
 

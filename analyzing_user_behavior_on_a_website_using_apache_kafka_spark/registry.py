@@ -54,98 +54,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- the 12 queries with NO driver row in either prior round (the
-    # r01/r02 windows never sampled them; all locally oracle-green) ---
-    "q_win_first_last",
-    "q_agg_stats",  # also CHANGED: cents rounding + wider composite
-    "q_agg_sketch_merge",
-    "q_agg_approx_quantile",
-    "q_udf_cogroup",  # also CHANGED: DECIMAL-rounded total_spend
-    "q_udtf_explode",
-    "q_sql_window",
-    "q_sample_mixture",
-    "q_text_fingerprint",
-    "q_text_token_bpe",
-    "q_text_chunk",
-    "q_text_rollhash",
-    # --- queries NEW this round (need first driver rows) ---
-    "q_text_ngram_counts",
-    "q_source_evolving_schema",
-    "q_text_pii_scrub",
-    "q_embed_normquant",
-    "q_text_entropy",
-    # behavior-analytics family (the reference's report, next page)
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    "q_event_transitions",
+    # Round-4 window (VERDICT r3 item 8): the 7 TIMESTAMP_NTZ-revived
+    # queries + 2 changed-this-round keys first, then ALL r1-stale keys
+    # that fit (keys whose last driver check was round 1 — 3 rounds ago).
+    # --- NTZ-fixed (5 driver-red in r03 + 2 latent) — must re-green ---
     "q_event_dwell",
-    "q_path_topk",
-    "q_growth_accounting",
-    # training-data-pipeline additions (round 3, second wave)
-    "q_text_repetition",
-    "q_text_decontaminate",
-    "q_pack_sequences",
-    "q_sink_bucketed",
-    "q_text_unigram_logprob",
-    "q_sample_stratified",
-    "q_dedup_incremental",
-    # --- queries CHANGED this round (need fresh driver rows) ---
-    "q_udaf_grouped",  # re-keyed on user_id
-    "q_sink_upsert",  # checkpointed read-before-overwrite
-    "q_dedup_near",  # now the oracle-checked recall-invariant view
-    "q_multimodal_features",  # new arithmetic oracle
-    "q_multimodal_framesample",  # new arithmetic oracle
-    "q_stream_static_join",  # un-broadcast scaling dim
-    "q_stream_dedup",  # fixture-assumption pin (plan unchanged)
-    # --- one-or-more green representatives per family (regression) ---
-    # (q_win_rank / q_sql_report demoted this round: r02-green,
-    # unchanged; their families stay covered by q_win_first_last /
-    # q_sql_window inside the window)
-    # UDF ladder (q_udtf_python AND q_udf_pandas demoted this round:
-    # both r02-green, unchanged; the family keeps q_udf_cogroup,
-    # q_udtf_explode, and q_udaf_grouped inside the window)
-    # dedup ladder
-    # (q_dedup_simhash / q_dedup_embed_cosine demoted this round: both
-    # rows-only — their driver rows add no hash evidence — and both
-    # have r02 rows plus recall/property gates in tests;
-    # q_dedup_exact also demoted: r02-green, unchanged, trivial plan)
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    # text analysis (q_text_langid / q_text_quality / q_text_tfidf
-    # demoted: r02-green, unchanged; the family keeps 9 other rows
-    # in-window including the two new gates)
-    "q_pipeline_curate",
-    # sampling (q_split_train_test / q_sample_hash demoted: both
-    # r02-green, unchanged, trivial map-only plans; family keeps
-    # q_sample_mixture + the new q_sample_stratified in-window)
-    # multimodal (q_multimodal_cols demoted this round: r02-green,
-    # unchanged; the family keeps features + framesample — both
-    # re-oracled this round — in-window)
-    # similarity (q_sim_ivf demoted: rows-only row adds no hash
-    # evidence; recall gates pin it in tests)
-    "q_sim_topk_bruteforce",
-    "q_sim_ann",
-    # sources (q_source_orc demoted this round: r02-green, unchanged;
-    # the family keeps the new q_source_evolving_schema row)
-    # big-big range join (binned)
-    "q_join_range_binned",
-    # streaming (near-full family: state machinery regressions are
-    # silent; q_stream_kafka_source demoted — r02-green pass-through
-    # scan, least stateful of the family)
-    # (q_stream_sliding demoted this round: r02-green, unchanged;
-    # windowed-agg state stays covered by tumbling + session +
-    # watermark_late)
-    "q_stream_tumbling",
-    "q_stream_session",
+    "q_stream_dedup",
     "q_stream_watermark_late",
-    "q_stream_complete_agg",
     "q_stream_stream_join",
     "q_stream_stream_left",
-    "q_stream_custom_state",
-    # (q_agg_count_by demoted this round: r01-green, unchanged, trivial;
-    # the aggregate family keeps q_agg_stats / q_agg_sketch_merge /
-    # q_agg_approx_quantile in-window.)
-    # Everything demoted is driver-green (r01/r02) and unchanged.
+    "q_win_lag_lead",
+    "q_sessionize_batch",
+    # --- CHANGED this round (need fresh driver rows) ---
+    "q_dedup_simhash",  # rows-only -> identical-token-set invariant oracle
+    "q_dedup_clusters",  # CC rewritten to small-star/large-star
+    # --- one representative per family the 9 above don't cover
+    # (test_registry pins every family inside the checked window);
+    # each is its family's OLDEST unchecked member ---
+    "q_udf_pandas",  # r02 — Arrow-path rep for q_udf_
+    "q_udaf_grouped",  # r03 — only q_uda* key
+    "q_text_tfidf",  # r02 — heaviest text plan
+    "q_multimodal_cols",  # r02
+    "q_sim_ivf",  # r02
+    "q_sample_hash",  # r02
+    "q_sql_report",  # r02
+    # --- 34 of the 47 keys last driver-checked in r01, oldest debt.
+    # The 13 left out (q_filter_null, q_union_distinct, q_agg_cube,
+    # q_agg_filtered, q_agg_distinct, q_join_semi, q_sort_multikey,
+    # q_union_all, q_agg_percentile, q_join_cross, q_map_funcs,
+    # q_profile_columns, q_unpivot) are trivial, unchanged since
+    # r01-green, and each has an in-window family twin; they rotate in
+    # next round. ---
+    "q_scan_project",
+    "q_sink_append",
+    "q_source_csv",
+    "q_source_json",
+    "q_sink_partitioned",
+    "q_filter_eq",
+    "q_filter_range",
+    "q_filter_in",
+    "q_filter_like",
+    "q_project_derive",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_join_salted",
+    "q_agg_count_by",
+    "q_agg_sum_avg",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_grouping_sets",
+    "q_agg_share",
+    "q_win_distribution",
+    "q_sort_limit",
+    "q_intersect",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_pivot",
+    "q_subquery_scalar",
+    # Every key outside this window has a driver check from r02/r03
+    # (≤2 rounds old after r04 runs).
 )
 
 

@@ -204,7 +204,9 @@ def test_langid_one_prediction_per_doc(spark, sf_dir):
 
 def test_simhash_hamming_bounds(spark, sf_dir):
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _HAMMING_MAX,
         _SIMHASH_BITS,
+        simhash_band_pairs,
         simhash_fingerprints,
     )
 
@@ -215,8 +217,26 @@ def test_simhash_hamming_bounds(spark, sf_dir):
         r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()
     }
     assert sigs == sigs2
-    out = registry.all_queries()["q_dedup_simhash"](spark, sf_dir)
-    assert out.count() == len(sigs)  # one row per doc, always non-empty
+    # band completeness (the pigeonhole losslessness claim): EVERY pair
+    # at hamming ≤ 3 must surface from the banded join — checked against
+    # a Python all-pairs scan over the collected fingerprints
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_band_pairs(spark, sf_dir).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b): (sigs[a] ^ sigs[b]).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sigs[a] ^ sigs[b]).bit_count() <= _HAMMING_MAX
+    }
+    assert got == want
+    # the registered invariant view: identical-token-set pairs must all
+    # be in-bands at hamming 0 (what the DuckDB oracle asserts)
+    rows = registry.all_queries()["q_dedup_simhash"](spark, sf_dir).collect()
+    assert rows  # fixture has identical-token-set dups
+    assert all(r.hamming == 0 and r.in_bands == 1 for r in rows)
 
 
 def test_lsh_bucket_udf_matches_expression_path(spark, sf_dir):
