@@ -94,7 +94,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     extended: dict[str, float] = {}
-    for name in EXTENDED:
+    # SPARK_GRAFT_SKIP_EXTENDED=1 → headline-only run, for quick
+    # repetition when characterizing variance (the driver never sets it)
+    skip_ext = os.environ.get("SPARK_GRAFT_SKIP_EXTENDED") == "1"
+    for name in [] if skip_ext else EXTENDED:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         extended[name] = round(time.time() - t0, 3)
