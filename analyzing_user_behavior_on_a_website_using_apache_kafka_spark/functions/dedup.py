@@ -357,7 +357,7 @@ def prefix_filtered_jaccard_join(
 
 # --- Duplicate-cluster resolution (connected components) ------------------
 
-_CC_MAX_ITERS = 50  # rounds = graph diameter; loud failure if exceeded
+_CC_MAX_ITERS = 50  # ≫ O(log n) for any realistic n; loud failure if hit
 
 
 @query(
@@ -393,18 +393,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair output (q_dedup_ngram_jaccard) is not what a dedup pipeline
     acts on — transitively-linked duplicates must collapse to ONE
-    keeper even when A~B, B~C but A≁C. Components via iterative
-    min-label propagation: every doc starts labeled with itself; each
-    round every doc takes the min label among itself and its graph
-    neighbors; fixpoint = component-minimum everywhere. Convergence is
-    detected from the monotonically-decreasing label SUM (one scalar
-    aggregate per round, no row-level diff join), and each round
-    `localCheckpoint`s to truncate lineage — the standard guard for
-    iterative DataFrame algorithms. Rounds needed = graph diameter
-    (≤ 3 on the fixture's dense graph); at 100 TB switch the iteration
-    body to alternating small-star/large-star (Kiveris et al., 2014),
-    which converges in O(log n) rounds on high-diameter graphs — the
-    per-round plan (join + min-agg on doc_id) is identical.
+    keeper even when A~B, B~C but A≁C. Components via alternating
+    small-star/large-star rounds (see :func:`connected_components`) —
+    O(log n) rounds independent of graph diameter, so web-crawl dup
+    graphs with long chains cost tens, not thousands, of shuffles at
+    100 TB.
 
     The oracle computes the same components exactly via a recursive-CTE
     transitive closure — this is the rare iterative algorithm with a

@@ -7,6 +7,7 @@ plan on identical input (SURVEY §5.2 self-oracle strategy).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -19,18 +20,31 @@ from ..catalog import ensure_reader_conf, normalize, table_path
 def _stream_dir(sf_dir: str, name: str) -> str:
     """FileStreamSource requires a *directory* to monitor, but the fixtures
     are single parquet files — expose each through a per-(sf, table) temp
-    directory holding a symlink to the read-only fixture."""
+    directory holding a symlink to the read-only fixture.
+
+    The directory key hashes the FULL sf_dir path: two distinct sf_dirs
+    sharing a basename (e.g. tmp-dir test fixtures) must not collide on
+    one symlink. A pre-existing link pointing elsewhere (or dangling —
+    its target deleted) is replaced, never trusted."""
+    target = table_path(sf_dir, name)
+    path_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:8]
     d = os.path.join(
         tempfile.gettempdir(),
         "aub_streamsrc",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{path_tag}",
         name,
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and (
+        not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(target)
+    ):
+        os.remove(link)  # dangling or pointing at a different fixture
+    if not os.path.lexists(link):
         try:
-            os.symlink(table_path(sf_dir, name), link)
+            os.symlink(target, link)
         except FileExistsError:  # concurrent creator won the race
             pass
     return d

@@ -109,3 +109,31 @@ def test_normalize_handles_ntz_even_without_reader_conf(spark, tmp_path):
         assert sorted(ms) == [_MICROS // 1000 + i * 1000 for i in range(5)]
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_stream_dir_isolates_same_basename_and_heals_dangling(tmp_path):
+    """Two sf_dirs sharing a basename must not collide on one stream
+    symlink, and a dangling link (target deleted) must be replaced —
+    the stale-fixture flake class (pytest tmp dirs recycle basenames)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
+        _stream_dir,
+    )
+
+    a = tmp_path / "runA" / "sfx"
+    b = tmp_path / "runB" / "sfx"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        (d / "events.parquet").write_bytes(b"PAR1")
+    da = _stream_dir(str(a), "events")
+    db = _stream_dir(str(b), "events")
+    assert da != db  # full-path hash keys the temp dir, not the basename
+    assert os.path.realpath(os.path.join(da, "events.parquet")) == str(
+        a / "events.parquet"
+    )
+    # dangling link heals: delete A's fixture, recreate, re-enter
+    (a / "events.parquet").unlink()
+    assert not os.path.exists(os.path.join(da, "events.parquet"))
+    (a / "events.parquet").write_bytes(b"PAR1")
+    da2 = _stream_dir(str(a), "events")
+    assert da2 == da
+    assert os.path.exists(os.path.join(da2, "events.parquet"))
