@@ -716,7 +716,42 @@ def embed_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_embed_cosine")  # rows-only — see docstring last ¶
+def _embed_cosine_oracle() -> str:
+    from .similarity import _LSH_ORACLE_PLANES
+
+    return f"""
+    WITH {_LSH_ORACLE_PLANES},
+    cands AS (
+      SELECT DISTINCT a.vec_id AS doc_id, b.vec_id AS nn_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.nn_id,
+             list_dot_product(p.emb, q.emb) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(q.emb, q.emb))) AS sim
+      FROM cands c
+      JOIN v p ON p.vec_id = c.doc_id
+      JOIN v q ON q.vec_id = c.nn_id
+    ),
+    best AS (
+      SELECT doc_id, nn_id, sim FROM (
+        SELECT doc_id, nn_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY sim DESC, nn_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT v.vec_id AS doc_id, b.nn_id, ROUND(b.sim, 6) AS nn_cosine,
+           CAST(CASE WHEN b.sim >= 0.9 THEN 1 ELSE 0 END AS INT)
+             AS is_near_dup
+    FROM v LEFT JOIN best b ON b.doc_id = v.vec_id
+    """
+
+
+@query("q_dedup_embed_cosine", oracle=_embed_cosine_oracle())
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: approximate NN per vector via hyperplane LSH.
 
@@ -735,15 +770,14 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ≈ 1 − 4e-5. Exact-NN recall vs `embed_cosine_allpairs`
     is asserted in tests/test_northstar.py.
 
-    Deliberately rows-only (unlike q_dedup_simhash, whose identical-
-    token-set invariant IS oracle-checked): the analogous deterministic
-    invariant here — "cosine ≥ 0.9 pairs must be found" — is VACUOUS on
-    this fixture (vectors are near-random, NN cosine ≈ 0.5, zero pairs
-    reach 0.9 at any sf), so its SQL oracle would compare two always-
-    empty sets and assert nothing, while any informative lower threshold
-    makes LSH misses legitimate and the flag column unpredictable to an
-    independent oracle. The recall gates in tests/test_northstar.py are
-    the real check.
+    FULLY oracle-checked despite being "approximate" (was rows-only
+    through r3): the hyperplanes are a deterministic splitmix-style
+    integer mix (similarity._plane_coeff), so the DuckDB oracle replays
+    the whole pipeline exactly — bucket assignment, co-bucket candidate
+    generation, cosine re-rank with the nn_id tie-break, and the NULL
+    rows for bucket-less vectors. See q_sim_ann's docstring for the
+    float-margin analysis; the recall gates in tests/test_northstar.py
+    additionally pin approximation QUALITY, which no exact replay can.
     """
     from .similarity import bucketed_all_tables, cosine
 

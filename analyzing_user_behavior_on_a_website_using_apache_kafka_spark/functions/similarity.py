@@ -358,7 +358,79 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_ann")  # rows-only: ANN candidate membership is approximate
+_LSH_ORACLE_PLANES = """
+    s0 AS (
+      SELECT t.t, p.p, d.d,
+             (t.t*1000003 + p.p*7919 + d.d*104729 + 2654435769)
+               % 4294967296 AS x0
+      FROM range(16) t(t), range(5) p(p), range(64) d(d)
+    ),
+    s1 AS (
+      SELECT t, p, d,
+        CAST((CAST(xor(x0, x0 >> 16) AS HUGEINT) * 2246822507)
+             % 4294967296 AS BIGINT) AS x1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT t, p, d,
+        CAST((CAST(xor(x1, x1 >> 13) AS HUGEINT) * 3266489909)
+             % 4294967296 AS BIGINT) AS x2
+      FROM s1
+    ),
+    coeffs AS (
+      SELECT t, p, d, xor(x2, x2 >> 16) / 2147483648.0 - 1.0 AS coeff
+      FROM s2
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    vecd AS (
+      SELECT vec_id, d.d, emb[CAST(d.d + 1 AS INT)] AS x
+      FROM v, range(64) d(d)
+    ),
+    proj AS (
+      SELECT vec_id, t, p, SUM(x * coeff) AS proj
+      FROM vecd JOIN coeffs USING (d)
+      GROUP BY vec_id, t, p
+    ),
+    buckets AS (
+      SELECT vec_id, t AS tbl,
+             SUM(CASE WHEN proj >= 0 THEN 1 ELSE 0 END
+                 * (1 << CAST(4 - p AS INT))) AS bucket
+      FROM proj GROUP BY vec_id, t
+    )
+"""
+
+
+@query(
+    "q_sim_ann",
+    oracle=f"""
+    WITH {_LSH_ORACLE_PLANES},
+    cands AS (
+      SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS cand_id
+      FROM buckets pb JOIN buckets cb
+        ON pb.tbl = cb.tbl AND pb.bucket = cb.bucket
+      WHERE pb.vec_id < {N_PROBES} AND cb.vec_id <> pb.vec_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.cand_id,
+             list_dot_product(p.emb, q.emb) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(q.emb, q.emb))) AS sim
+      FROM cands c
+      JOIN v p ON p.vec_id = c.probe_id
+      JOIN v q ON q.vec_id = c.cand_id
+    )
+    SELECT probe_id, cand_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT probe_id, cand_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH + exact re-rank.
 
@@ -366,6 +438,20 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a bucket in ≥1 table (union of equi joins — never a cross
     join). Exact cosine re-ranks the candidates; recall vs brute force
     is asserted ≥0.6 in tests at k=10.
+
+    FULLY oracle-checked despite being "approximate" (was rows-only
+    through r3): the approximation is a deterministic pure function —
+    `_plane_coeff` is a splitmix-style integer mix, not an RNG — so the
+    DuckDB oracle replays the ENTIRE pipeline exactly: the 32-bit mix in
+    HUGEINT-masked arithmetic, the 16×5×64 hyperplane grid, projection
+    sign bits packed MSB-first, bucket equi-join candidacy, exact cosine
+    re-rank with the same cand_id tie-break. Any drift in bucketing,
+    candidate generation, or ranking hash-mismatches the driver row.
+    (Residual float caveat: a projection exactly at ±ulp of 0 could in
+    principle sign-flip between numpy's pairwise matmul and DuckDB's SUM
+    fold; measured min |projection| on the sf0.01 fixture is 6.4e-6
+    across all 40k projections, ~9 orders above the ~1e-15 reassociation
+    error of a 64-term double sum — no flip is reachable.)
     """
     dim = 64  # embeddings fixture dimension (FIXTURES.md)
     v = load_table(spark, sf_dir, "embeddings").select(

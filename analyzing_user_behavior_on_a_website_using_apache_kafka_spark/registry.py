@@ -68,6 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- CHANGED this round (need fresh driver rows) ---
     "q_dedup_simhash",  # rows-only -> identical-token-set invariant oracle
     "q_dedup_clusters",  # CC rewritten to small-star/large-star
+    "q_sim_ann",  # rows-only -> full deterministic LSH-replay oracle
+    "q_dedup_embed_cosine",  # rows-only -> full LSH-replay oracle
     # --- one representative per family the 9 above don't cover
     # (test_registry pins every family inside the checked window);
     # each is its family's OLDEST unchecked member ---
@@ -75,16 +77,17 @@ _PRIORITY: tuple[str, ...] = (
     "q_udaf_grouped",  # r03 — only q_uda* key
     "q_text_tfidf",  # r02 — heaviest text plan
     "q_multimodal_cols",  # r02
-    "q_sim_ivf",  # r02
     "q_sample_hash",  # r02
     "q_sql_report",  # r02
-    # --- 34 of the 47 keys last driver-checked in r01, oldest debt.
-    # The 13 left out (q_filter_null, q_union_distinct, q_agg_cube,
+    # (q_sim_ivf stays out: rows-only, its driver row adds no hash
+    # evidence; the q_sim_ family is represented by q_sim_ann above)
+    # --- 33 of the 47 keys last driver-checked in r01, oldest debt.
+    # The 14 left out (q_filter_null, q_union_distinct, q_agg_cube,
     # q_agg_filtered, q_agg_distinct, q_join_semi, q_sort_multikey,
     # q_union_all, q_agg_percentile, q_join_cross, q_map_funcs,
-    # q_profile_columns, q_unpivot) are trivial, unchanged since
-    # r01-green, and each has an in-window family twin; they rotate in
-    # next round. ---
+    # q_profile_columns, q_unpivot, q_agg_share) are trivial, unchanged
+    # since r01-green, and each has an in-window family twin; they
+    # rotate in next round. ---
     "q_scan_project",
     "q_sink_append",
     "q_source_csv",
@@ -108,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_having",
     "q_agg_rollup",
     "q_agg_grouping_sets",
-    "q_agg_share",
     "q_win_distribution",
     "q_sort_limit",
     "q_intersect",
