@@ -283,36 +283,126 @@ _IVF_K = 16  # coarse centroids
 _IVF_NPROBE = 4  # clusters searched per probe
 
 
-@query("q_sim_ivf")  # rows-only: ANN candidate membership is approximate
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, sequential left fold (both engines
+    sum the same 64 terms; see the float-margin note on q_sim_ann)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    centroids AS (
+      SELECT vec_id AS cell, emb AS cemb FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+    ),
+    vecd AS (
+      SELECT vec_id, d.d, emb[CAST(d.d + 1 AS INT)] AS x
+      FROM v, range(64) d(d)
+    ),
+    centd AS (
+      SELECT cell, d.d, cemb[CAST(d.d + 1 AS INT)] AS cx
+      FROM centroids, range(64) d(d)
+    ),
+    dist AS (
+      SELECT vecd.vec_id, centd.cell,
+             SUM((vecd.x - centd.cx) * (vecd.x - centd.cx)) AS dist2
+      FROM vecd JOIN centd USING (d)
+      GROUP BY vecd.vec_id, centd.cell
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    probe_cells AS (
+      SELECT vec_id AS probe_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS crnk
+        FROM dist WHERE vec_id < {N_PROBES}
+      ) WHERE crnk <= {_IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT pc.probe_id, a.vec_id AS cand_id
+      FROM probe_cells pc JOIN assigned a ON a.cell = pc.cell
+      WHERE a.vec_id <> pc.probe_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.cand_id,
+             list_dot_product(p.emb, q.emb) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(q.emb, q.emb))) AS sim
+      FROM cands c
+      JOIN v p ON p.vec_id = c.probe_id
+      JOIN v q ON q.vec_id = c.cand_id
+    )
+    SELECT probe_id, cand_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT probe_id, cand_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF: k-means coarse quantizer + cluster probe.
+    """Approximate top-k via IVF: coarse quantizer cells + cluster probe.
 
-    Build: seeded MLlib k-means partitions the corpus into _IVF_K
-    cells (one pass assign). Search: each probe scores only the
-    _IVF_NPROBE nearest cells' members — candidate volume ≈
-    nprobe/k of the corpus. The centroid table is O(k × dim) →
-    broadcast; the candidate join is an equi join on cluster id. At
-    100 TB the assignment is written as a partition column so a probe
-    reads only its cells' files (partition pruning does the routing).
-    Recall vs brute force is asserted in tests alongside the LSH
-    variant.
+    Build: the coarse quantizer is a DETERMINISTIC corpus sample — the
+    _IVF_K vectors ranked first by md5(vec_id) (FAISS-style random-
+    subset centroid init, without Lloyd refinement; swap in k-means for
+    tighter cells — the routing/assignment plan below is identical and
+    is what matters to the engine). Every vector joins its nearest
+    centroid (broadcast k×dim table, map-side `min_by` aggregate — no
+    corpus window). Search: each probe scores only its _IVF_NPROBE
+    nearest cells' members — candidate volume ≈ nprobe/k of the corpus;
+    the candidate join is an equi join on cell id. At 100 TB the
+    assignment is written as a partition column so a probe reads only
+    its cells' files (partition pruning does the routing).
+
+    FULLY oracle-checked (was rows-only while the quantizer was MLlib
+    k-means, whose iterative fit has no SQL twin): sampled centroids
+    make the whole pipeline a pure function — the DuckDB oracle replays
+    centroid selection (same md5 ranking), nearest-cell assignment with
+    the same (dist², cell) tie-break, probe routing, and the cosine
+    re-rank. Recall vs brute force stays gated in tests: approximation
+    QUALITY is the one thing an exact replay cannot check.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    feat = v.select("vec_id", "emb", array_to_vector("emb").alias("features"))
-    model = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", "emb", F.col("prediction").alias("cell")
+    # deterministic sampled centroids: top _IVF_K by md5(vec_id) —
+    # a global sort-LIMIT (TakeOrdered: per-partition top-k + driver
+    # merge of k rows), NOT a global window
+    centroids = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
+    # nearest-centroid assignment: broadcast the k×dim table, argmin by
+    # (dist², cell) via map-side-combinable min_by — no corpus window
+    dist = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell",
+        _sq_dist(F.col("emb"), F.col("centroid")).alias("dist2"),
     )
-    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+    assigned = dist.groupBy("vec_id").agg(
+        F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
     )
     # route each probe to its nprobe nearest cells (tiny cross: probes × k)
@@ -322,14 +412,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = (
         probes.crossJoin(F.broadcast(centroids))
         .withColumn(
-            "cdist",
-            F.aggregate(
-                F.zip_with(
-                    "probe_emb", "centroid", lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+            "cdist", _sq_dist(F.col("probe_emb"), F.col("centroid"))
         )
         .withColumn("crnk", F.row_number().over(w_cell))
         .filter(F.col("crnk") <= _IVF_NPROBE)
@@ -338,6 +421,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(v, "vec_id")  # re-attach the candidate embedding
         .select("probe_id", "probe_emb", F.col("vec_id").alias("cand_id"), "emb")
     )
     scored = cands.select(

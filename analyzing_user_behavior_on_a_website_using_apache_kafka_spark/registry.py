@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",  # CC rewritten to small-star/large-star
     "q_sim_ann",  # rows-only -> full deterministic LSH-replay oracle
     "q_dedup_embed_cosine",  # rows-only -> full LSH-replay oracle
+    "q_sim_ivf",  # quantizer now deterministic sampled centroids + oracle
     # --- one representative per family the 9 above don't cover
     # (test_registry pins every family inside the checked window);
     # each is its family's OLDEST unchecked member ---
@@ -79,15 +80,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_cols",  # r02
     "q_sample_hash",  # r02
     "q_sql_report",  # r02
-    # (q_sim_ivf stays out: rows-only, its driver row adds no hash
-    # evidence; the q_sim_ family is represented by q_sim_ann above)
-    # --- 33 of the 47 keys last driver-checked in r01, oldest debt.
-    # The 14 left out (q_filter_null, q_union_distinct, q_agg_cube,
+    # --- 32 of the 47 keys last driver-checked in r01, oldest debt.
+    # The 15 left out (q_filter_null, q_union_distinct, q_agg_cube,
     # q_agg_filtered, q_agg_distinct, q_join_semi, q_sort_multikey,
     # q_union_all, q_agg_percentile, q_join_cross, q_map_funcs,
-    # q_profile_columns, q_unpivot, q_agg_share) are trivial, unchanged
-    # since r01-green, and each has an in-window family twin; they
-    # rotate in next round. ---
+    # q_profile_columns, q_unpivot, q_agg_share, q_win_distribution)
+    # are trivial, unchanged since r01-green, and each has an in-window
+    # family twin; they rotate in next round. ---
     "q_scan_project",
     "q_sink_append",
     "q_source_csv",
@@ -111,7 +110,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_having",
     "q_agg_rollup",
     "q_agg_grouping_sets",
-    "q_win_distribution",
     "q_sort_limit",
     "q_intersect",
     "q_str_funcs",
