@@ -59,10 +59,15 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-ROWS_ONLY = sorted(set(registry.all_queries()) - set(registry.all_oracles()))
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(name, spark, sf_dir):
-    df = registry.all_queries()[name](spark, sf_dir)
-    assert df.count() > 0, f"{name}: returned no rows"
+def test_every_query_has_an_oracle():
+    """Round-4 invariant: ALL registered queries carry a DuckDB oracle
+    (the former rows-only keys were closed via exactness invariants and
+    deterministic full replays — see SURVEY §2.2). A new query without
+    an oracle is a deliberate, documented decision, not a default."""
+    rows_only = sorted(
+        set(registry.all_queries()) - set(registry.all_oracles())
+    )
+    assert rows_only == [], (
+        f"queries without oracles: {rows_only} — add an oracle or "
+        "document why the semantics are not SQL-expressible"
+    )
