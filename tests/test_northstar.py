@@ -483,3 +483,31 @@ def test_unigram_logprob_ranks_rare_token_docs_lower(spark, sf_dir):
     for d in got:
         assert abs(got[d] - expect[d]) < 1e-5, d
     assert min(got, key=got.get) == min(expect, key=expect.get)
+
+
+def test_lsh_oracle_planes_match_plane_coeff():
+    """The q_sim_ann / q_dedup_embed_cosine oracles replay the LSH
+    hyperplanes in SQL (_LSH_ORACLE_PLANES); this pins the cross-engine
+    contract at its root: all 16x5x64 DuckDB-computed coefficients must
+    equal _plane_coeff bit-for-bit. A drift in either side otherwise
+    surfaces only as an opaque full-query hash mismatch."""
+    import duckdb
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _LSH_ORACLE_PLANES,
+        _plane_coeff,
+    )
+
+    con = duckdb.connect()
+    # the fragment's downstream CTEs reference an embeddings view; give
+    # the binder a trivial one (the coeffs CTE itself reads no table)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT 0 AS vec_id, "
+        "[0.0] AS embedding WHERE 1=0"
+    )
+    rows = con.execute(
+        f"WITH {_LSH_ORACLE_PLANES} SELECT t, p, d, coeff FROM coeffs"
+    ).fetchall()
+    assert len(rows) == 16 * 5 * 64
+    for t, p, d, c in rows:
+        assert c == _plane_coeff(t, p, d), (t, p, d)
