@@ -165,6 +165,56 @@ def q_source_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT doc_id, strlen(text) + 1 AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — THE ingest path for multimodal blobs (images,
+    audio, video) that don't arrive in a columnar container.
+
+    Round-trip: every document's text lands as its own file under a
+    doc_id=N partition directory (distributed `partitionBy().text()`
+    write — no driver-side file loop), then `spark.read.format(
+    "binaryFile")` lists the tree (`recursiveFileLookup`) and yields
+    (path, modificationTime, length, content) rows; the key is
+    recovered from the directory name and the payload is checksummed
+    JVM-side. The oracle recomputes size and md5 from the source table
+    (the text sink appends one newline per row, hence `|| chr(10)`).
+
+    100 TB notes: the binaryFile relation COLUMN-PRUNES `content` — a
+    metadata-only query (count, size histogram, path filter) never
+    reads the blob bytes; `pathGlobFilter` prunes at listing time, and
+    a partitioned directory layout (date/source/...) gives directory-
+    level pruning exactly like parquet partitions. Pair it with
+    `mapInPandas` decode (functions/multimodal.py) for the
+    decode-and-feature path; `spark.sql.files.maxPartitionBytes` sets
+    how many blobs a task packs.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "aub_source_bin", os.path.basename(sf_dir)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").partitionBy("doc_id").text(out)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(out)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@query(
     "q_sink_append",
     oracle="""
     SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies FROM nation
