@@ -165,6 +165,43 @@ def q_source_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_xml",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, ROUND(p_retailprice, 2) AS price
+    FROM part
+    """,
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip — Spark 4's NATIVE xml reader (spark-xml
+    graduated into core), the interchange path for feeds that still
+    speak XML. Explicit schema as always (inference is an extra full
+    pass); entity escaping (&, <, >) is handled by the format, which
+    the part names' punctuation exercises. rowTag selects the record
+    element; at 100 TB the reader splits files by row boundaries like
+    JSON lines, so parallelism is file/size-driven, not document-
+    driven."""
+    out = os.path.join(
+        tempfile.gettempdir(), "aub_source_xml", os.path.basename(sf_dir)
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.round("p_retailprice", 2).alias("price"),
+    )
+    part.write.mode("overwrite").option("rootTag", "parts").option(
+        "rowTag", "part"
+    ).xml(out)
+    return (
+        spark.read.schema(
+            "p_partkey bigint, p_name string, p_brand string, price double"
+        )
+        .option("rowTag", "part")
+        .xml(out)
+    )
+
+
+@query(
     "q_source_binaryfile",
     oracle="""
     SELECT doc_id, strlen(text) + 1 AS n_bytes,
