@@ -449,3 +449,55 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(run).cast("bigint").alias("cum_users"),
     )
+
+
+@query(
+    "q_event_anomaly",
+    oracle="""
+    WITH per_min AS (
+      SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT AVG(n_events) AS mu, stddev_samp(n_events) AS sd FROM per_min
+    )
+    SELECT minute_ts, n_events,
+           ROUND((n_events - mu) / sd, 4) AS zscore,
+           CAST(CASE WHEN ABS((n_events - mu) / sd) > 3.0
+                     THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM per_min CROSS JOIN stats
+    """,
+)
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly detection: z-score every minute's event count
+    against the corpus-wide mean/stddev and flag |z| > 3 — the ops-
+    monitoring view over the same click log the reference aggregates
+    (spike = incident or bot, trough = outage).
+
+    Plan shape: one count shuffle to per-minute rows (O(minutes), tiny
+    regardless of event volume), a 1-ROW mean/stddev aggregate of that,
+    and a broadcast cross join attaching the two scalars back — the
+    same bounded-broadcast pattern as q_text_tfidf's corpus total, so
+    no per-row shuffle beyond the first count. At 100 TB the minute
+    count is a partial+final HashAggregate over the scan; everything
+    after operates on O(minutes) rows. z rounds at 4 digits (engines'
+    one-pass moment accumulation agrees to ~1e-9 relative).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("minute", "ts"))
+        .cast("bigint")
+        .alias("minute_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = per_min.agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sd"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    return per_min.crossJoin(F.broadcast(stats)).select(
+        "minute_ts",
+        "n_events",
+        F.round(z, 4).alias("zscore"),
+        F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("int").alias("is_anomaly"),
+    )
