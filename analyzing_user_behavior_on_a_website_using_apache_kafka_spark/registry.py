@@ -86,7 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     # q_union_all, q_agg_percentile, q_join_cross, q_map_funcs,
     # q_profile_columns, q_unpivot, q_agg_share, q_win_distribution)
     # are trivial, unchanged since r01-green, and each has an in-window
-    # family twin; they rotate in next round. ---
+    # family twin; they rotate in next round, together with the three
+    # r4-NEW keys that have no driver row yet (q_source_binaryfile,
+    # q_source_xml, q_event_anomaly — all locally oracle-verified at
+    # sf0.001 AND sf0.01). ---
     "q_scan_project",
     "q_sink_append",
     "q_source_csv",
