@@ -54,76 +54,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-4 window (VERDICT r3 item 8): the 7 TIMESTAMP_NTZ-revived
-    # queries + 2 changed-this-round keys first, then ALL r1-stale keys
-    # that fit (keys whose last driver check was round 1 — 3 rounds ago).
-    # --- NTZ-fixed (5 driver-red in r03 + 2 latent) — must re-green ---
-    "q_event_dwell",
-    "q_stream_dedup",
-    "q_stream_watermark_late",
-    "q_stream_stream_join",
-    "q_stream_stream_left",
-    "q_win_lag_lead",
-    "q_sessionize_batch",
-    # --- CHANGED this round (need fresh driver rows) ---
-    "q_dedup_simhash",  # rows-only -> identical-token-set invariant oracle
-    "q_dedup_clusters",  # CC rewritten to small-star/large-star
-    "q_sim_ann",  # rows-only -> full deterministic LSH-replay oracle
-    "q_dedup_embed_cosine",  # rows-only -> full LSH-replay oracle
-    "q_sim_ivf",  # quantizer now deterministic sampled centroids + oracle
-    # --- one representative per family the 9 above don't cover
-    # (test_registry pins every family inside the checked window);
-    # each is its family's OLDEST unchecked member ---
-    "q_udf_pandas",  # r02 — Arrow-path rep for q_udf_
-    "q_udaf_grouped",  # r03 — only q_uda* key
-    "q_text_tfidf",  # r02 — heaviest text plan
-    "q_multimodal_cols",  # r02
-    "q_sample_hash",  # r02
-    "q_sql_report",  # r02
-    # --- 32 of the 47 keys last driver-checked in r01, oldest debt.
-    # The 15 left out (q_filter_null, q_union_distinct, q_agg_cube,
-    # q_agg_filtered, q_agg_distinct, q_join_semi, q_sort_multikey,
-    # q_union_all, q_agg_percentile, q_join_cross, q_map_funcs,
-    # q_profile_columns, q_unpivot, q_agg_share, q_win_distribution)
-    # are trivial, unchanged since r01-green, and each has an in-window
-    # family twin; they rotate in next round, together with the three
-    # r4-NEW keys that have no driver row yet (q_source_binaryfile,
-    # q_source_xml, q_event_anomaly — all locally oracle-verified at
-    # sf0.001 AND sf0.01). ---
-    "q_scan_project",
-    "q_sink_append",
-    "q_source_csv",
-    "q_source_json",
-    "q_sink_partitioned",
-    "q_filter_eq",
-    "q_filter_range",
-    "q_filter_in",
-    "q_filter_like",
-    "q_project_derive",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_join_salted",
-    "q_agg_count_by",
-    "q_agg_sum_avg",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_grouping_sets",
-    "q_sort_limit",
-    "q_intersect",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
-    "q_array_funcs",
-    "q_pivot",
-    "q_subquery_scalar",
-    # Every key outside this window has a driver check from r02/r03
-    # (≤2 rounds old after r04 runs).
+    # Round-5 window (VERDICT r4 items 1 & 8).  Composition, in order:
+    #   (a) the 3 r4-new keys that have never had a driver CORRECTNESS row;
+    #   (b) the arbitrary-state streaming rep (r3-stale; its planned
+    #       transformWithState twin is environment-blocked — see the
+    #       note in _ensure_loaded);
+    #   (c) every key whose implementation or oracle CHANGED in r5 and so
+    #       needs a fresh row (edge-set memoization: jaccard+clusters;
+    #       simhash oracle tokenization alignment; IVF margin work);
+    #   (d) ALL 15 keys last driver-checked in r1 (3 rounds stale);
+    #   (e) ALL 20 keys last driver-checked in r2;
+    #   (f) 7 oldest/heaviest r3 keys with the remaining slots.
+    # After this window runs, no key's latest check is >2 rounds old.
+    # (Steady state: 130 keys / 50-key windows makes a strict <=2-round
+    # cycle infeasible — 65/round would be needed; tools/rotation_check.py
+    # enforces the feasible <=3-round bound plus never-stale-new-keys.)
+    # --- (a) never driver-checked (r4-new) ---
+    "q_source_binaryfile",
+    "q_source_xml",
+    "q_event_anomaly",
+    # --- (b) arbitrary-state streaming (r3) ---
+    "q_stream_custom_state",
+    # --- (c) changed in r5 ---
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_sim_ivf",
+    # --- (d) r1-stale, all 15 ---
+    "q_filter_null",
+    "q_union_distinct",
+    "q_agg_cube",
+    "q_agg_filtered",
+    "q_agg_distinct",
+    "q_join_semi",
+    "q_sort_multikey",
+    "q_union_all",
+    "q_agg_percentile",
+    "q_join_cross",
+    "q_map_funcs",
+    "q_profile_columns",
+    "q_unpivot",
+    "q_agg_share",
+    "q_win_distribution",
+    # --- (e) r2-stale, all 20 ---
+    "q_agg_approx_distinct",
+    "q_agg_collect",
+    "q_dedup_exact",
+    "q_except",
+    "q_source_orc",
+    "q_split_train_test",
+    "q_sql_join_having",
+    "q_stream_kafka_source",
+    "q_stream_sliding",
+    "q_text_langid",
+    "q_text_langstats",
+    "q_text_normalize",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_topk_per_group",
+    "q_udf_scalar",
+    "q_udtf_python",
+    "q_win_range_frame",
+    "q_win_rank",
+    "q_win_running",
+    # --- (f) oldest r3 debt + family representatives the 43 above
+    # don't cover (test_registry pins every family in-window) ---
+    "q_dedup_near",
+    "q_dedup_incremental",
+    "q_pipeline_curate",
+    "q_sink_upsert",
+    "q_multimodal_features",
+    "q_sample_mixture",
+    "q_udaf_grouped",
+    # Every key outside this window has a driver check from r03/r04
+    # (<=2 rounds old after r05 runs).
 )
 
 
@@ -175,5 +179,13 @@ def _ensure_loaded() -> None:
         text,
     )
     from .streaming import jobs, stateful  # noqa: F401
+    # NOTE: a transformWithStateInPandas twin of q_stream_custom_state
+    # (Spark 4 arbitrary-state v2: ValueState/MapState/timers) was built
+    # and is environment-blocked: pyspark 4.1.2's TwS state-server
+    # protocol imports google.protobuf, absent from this container
+    # (verified: the driver-side schema worker crashes on the import;
+    # installs are off-limits). Revisit if the environment gains
+    # protobuf — the applyInPandasWithState operator above covers the
+    # arbitrary-state semantics meanwhile.
 
     _LOADED = True

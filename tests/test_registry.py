@@ -74,3 +74,16 @@ def test_survey_declares_exactly_the_served_surface():
     import gen_coverage
 
     gen_coverage.assert_survey_declares_served_surface()
+
+
+def test_rotation_staleness_invariant():
+    """VERDICT r4 item 8: the next 50-key driver window must cover every
+    never-checked key and keep worst-case staleness within the feasible
+    bound (see tools/rotation_check.py docstring)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import rotation_check
+
+    problems = rotation_check.check_rotation("/root/repo")
+    assert not problems, "\n".join(problems)
