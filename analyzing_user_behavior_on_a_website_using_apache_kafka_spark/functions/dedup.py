@@ -633,7 +633,8 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             list_sort(list_distinct(string_split(text, ' '))) AS words
+             list_sort(list_filter(list_distinct(string_split(text, ' ')),
+                                   w -> w <> '')) AS words
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -654,7 +655,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-sum fingerprints (the construction is a pure function of the
     token-hash set), hence hamming 0 and a collision in every band. The
     oracle computes those pairs exactly (sorted-distinct-token-list
-    equality) and asserts hamming=0, in_bands=1; any fingerprint or
+    equality, empty tokens filtered on BOTH engines so runs of spaces
+    cannot split the pairing) and asserts hamming=0, in_bands=1; any fingerprint or
     banding regression mismatches the driver hash. The fixture makes
     this non-vacuous (444 identical-set pairs at sf0.01). The broader
     hamming-≤3 band-completeness bound stays property-tested in

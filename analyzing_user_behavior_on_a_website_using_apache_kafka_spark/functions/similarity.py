@@ -379,6 +379,18 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same (dist², cell) tie-break, probe routing, and the cosine
     re-rank. Recall vs brute force stays gated in tests: approximation
     QUALITY is the one thing an exact replay cannot check.
+
+    Float-margin (ADVICE r4 — mirrors the q_sim_ann LSH measurement):
+    the oracle's dist² is a GROUP BY SUM (unordered) vs Spark's
+    sequential 64-term fold, so cross-engine parity needs the decision
+    margins to dominate summation-order error. Measured on the fixtures
+    (tools-free numpy replay of the oracle): min rank-1→rank-2
+    assignment gap 1.6e-5 (sf0.001) / 1.7e-4 (sf0.01); min
+    rank-nprobe→rank-nprobe+1 routing gap 3.1e-2 / 1.9e-2. Reordering
+    error for a 64-term double sum of magnitude ~1.5 is ~2e-14 —
+    ≥9 orders of magnitude below every gap, so no tie can flip between
+    engines. tests/test_northstar.py re-checks the margin on whatever
+    fixture is current.
     """
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")

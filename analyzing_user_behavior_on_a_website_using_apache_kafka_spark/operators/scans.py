@@ -59,9 +59,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     never acceptable; with a schema the reader is a single streaming-
     decode pass.
     """
-    out = os.path.join(
-        tempfile.gettempdir(), "aub_source_json", os.path.basename(sf_dir)
-    )
+    out = tempfile.mkdtemp(prefix="aub_source_json_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -79,9 +77,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip with explicit schema + header."""
-    out = os.path.join(
-        tempfile.gettempdir(), "aub_source_csv", os.path.basename(sf_dir)
-    )
+    out = tempfile.mkdtemp(prefix="aub_source_csv_")
     nat = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -105,9 +101,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively. Same pushdown properties as parquet (column pruning +
     predicate pushdown reach the stripe reader); included so a consumer
     with ORC-resident data has a first-class path."""
-    out = os.path.join(
-        tempfile.gettempdir(), "aub_source_orc", os.path.basename(sf_dir)
-    )
+    out = tempfile.mkdtemp(prefix="aub_source_orc_")
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey",
         F.round("s_acctbal", 2).alias("acctbal"),
@@ -180,9 +174,7 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     element; at 100 TB the reader splits files by row boundaries like
     JSON lines, so parallelism is file/size-driven, not document-
     driven."""
-    out = os.path.join(
-        tempfile.gettempdir(), "aub_source_xml", os.path.basename(sf_dir)
-    )
+    out = tempfile.mkdtemp(prefix="aub_source_xml_")
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -231,9 +223,7 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-and-feature path; `spark.sql.files.maxPartitionBytes` sets
     how many blobs a task packs.
     """
-    out = os.path.join(
-        tempfile.gettempdir(), "aub_source_bin", os.path.basename(sf_dir)
-    )
+    out = tempfile.mkdtemp(prefix="aub_source_bin_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.write.mode("overwrite").partitionBy("doc_id").text(out)
     files = (
@@ -267,9 +257,7 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a partitioned table location — Spark's parquet commit
     protocol makes the append atomic per job.
     """
-    out = os.path.join(
-        tempfile.gettempdir(), "analyzing_ub_sink_append", os.path.basename(sf_dir)
-    )
+    out = tempfile.mkdtemp(prefix="aub_sink_append_")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nation.write.mode("overwrite").parquet(out)  # fresh base
     nation.write.mode("append").parquet(out)  # the appended batch
@@ -372,11 +360,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     so 3 of the 5 partitions are never opened. At scale this is the
     difference between scanning 100 TB and scanning the 2 partitions a
     query touches."""
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "analyzing_ub_sink_part",
-        os.path.basename(sf_dir),
-    )
+    out = tempfile.mkdtemp(prefix="aub_sink_part_")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     return (

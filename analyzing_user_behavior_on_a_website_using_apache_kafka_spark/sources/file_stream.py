@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 import tempfile
 import uuid
 
@@ -41,7 +42,10 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     if os.path.lexists(link) and (
         not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(target)
     ):
-        os.remove(link)  # dangling or pointing at a different fixture
+        try:
+            os.remove(link)  # dangling or pointing at a different fixture
+        except FileNotFoundError:
+            pass  # concurrent cleaner won the removal race
     if not os.path.lexists(link):
         try:
             os.symlink(target, link)
@@ -107,11 +111,28 @@ def run_to_memory(
             raise q.exception()
         return stream_df.sparkSession.table(name)
 
-    # One retry with a fresh checkpoint: RocksDB snapshot uploads abort
-    # sporadically under heavy rig load (observed once in ~10² runs);
-    # surfacing that as a query failure would be a false red. A real
-    # plan/semantic error fails both attempts identically.
+    # One retry with a fresh checkpoint, scoped to the KNOWN transient:
+    # RocksDB snapshot/changelog uploads abort sporadically under heavy
+    # rig load (observed once in ~10² runs). Anything else — plan errors,
+    # state-schema mismatches, real nondeterministic bugs — re-raises
+    # immediately so the verification harness never masks it, and the
+    # retry is logged loudly so a "green after retry" run is visible.
     try:
         return one_run()
-    except Exception:
+    except Exception as exc:
+        msg = str(exc)
+        transient = any(
+            marker in msg
+            for marker in (
+                "RocksDB",  # snapshot/changelog upload abort
+                "CANNOT_LOAD_STATE_STORE",
+            )
+        )
+        if not transient:
+            raise
+        print(
+            "run_to_memory: retrying once after transient state-store "
+            f"failure: {msg.splitlines()[0][:200]}",
+            file=sys.stderr,
+        )
         return one_run()

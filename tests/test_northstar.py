@@ -511,3 +511,54 @@ def test_lsh_oracle_planes_match_plane_coeff():
     assert len(rows) == 16 * 5 * 64
     for t, p, d, c in rows:
         assert c == _plane_coeff(t, p, d), (t, p, d)
+
+
+def test_ivf_tie_margins_dominate_float_error(sf_dir):
+    """Cross-engine dist² parity guard (ADVICE r4): the oracle sums the
+    64 squared-difference terms in GROUP BY (unordered) order, Spark in
+    a sequential fold. A nearest-centroid or probe-routing decision
+    could only flip between engines if a rank-adjacent dist² gap were
+    comparable to summation-order error (~64·eps·|dist²| ≈ 2e-14 here).
+    Re-measures the margins on the CURRENT fixture so a regenerated
+    dataset that lands a genuine near-tie fails loudly instead of
+    producing a mystery driver hash-mismatch."""
+    import duckdb
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+        N_PROBES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    cids = [
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM (SELECT vec_id, "
+            "md5(CAST(vec_id AS VARCHAR)) h FROM embeddings) "
+            f"ORDER BY h, vec_id LIMIT {_IVF_K}"
+        ).fetchall()
+    ]
+    cent = x[np.searchsorted(ids, cids)]
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    d2_sorted = np.sort(d2, axis=1)
+    assign_gap = float((d2_sorted[:, 1] - d2_sorted[:, 0]).min())
+    probe_sorted = np.sort(d2[ids < N_PROBES], axis=1)
+    route_gap = float(
+        (probe_sorted[:, _IVF_NPROBE] - probe_sorted[:, _IVF_NPROBE - 1]).min()
+    )
+    # 1e-9 floor = still >1e4x the worst-case reorder error, but small
+    # enough that any real fixture passes (measured: >=1.6e-5 assign)
+    assert assign_gap > 1e-9, f"near-tie centroid assignment: {assign_gap}"
+    assert route_gap > 1e-9, f"near-tie probe routing: {route_gap}"
