@@ -319,3 +319,93 @@ def test_session_window_matches_gap_scan(pb_spark, events):
             last = ts
         sessions.append((u, start, n))
     assert got == sorted(sessions)
+
+
+def test_connected_components_reliable_checkpoint_path(pb_spark, tmp_path):
+    """The conf-gated reliable-checkpoint variant (VERDICT r4 item 4)
+    must produce identical labels AND actually write round state to the
+    checkpoint store (the fault-tolerance property localCheckpoint
+    lacks: executor-resident blocks die with the executor)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        connected_components,
+    )
+
+    spark = pb_spark
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    # two path components + isolated nodes
+    pairs = [(i, i + 1) for i in range(0, 9)] + [
+        (i, i + 1) for i in range(10, 19)
+    ]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    expect = {
+        r.doc_id: r.label for r in connected_components(nodes, edges).collect()
+    }
+
+    ckdir = str(tmp_path / "cc_ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    spark.conf.set("spark.sql.ccReliableCheckpoint", "true")
+    try:
+        got = {
+            r.doc_id: r.label
+            for r in connected_components(nodes, edges).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ccReliableCheckpoint", "false")
+    assert got == expect
+    import os
+
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert written, "reliable path wrote nothing to the checkpoint dir"
+
+
+# XML writer/reader round-trip (VERDICT r4 item 6): q_source_xml's
+# driver check exercises escaping only through part-name punctuation.
+# This drives Spark 4's native xml format with adversarial strings:
+# entity metacharacters, CDATA terminators, quotes, non-BMP codepoints,
+# whitespace-edge and whitespace-only values.
+_xml_value_strategy = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.sampled_from(list("&<>\"' ]>[!-Az\u00c5\u00e9\U0001f600\u2603")),
+            min_size=0,
+            max_size=12,
+        ),
+        st.sampled_from(
+            ["]]>", "<![CDATA[x]]>", "&amp;", "&#10;", "  pad  ", " ok"]
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=_xml_value_strategy)
+def test_xml_roundtrip_escaping(pb_spark, values):
+    import tempfile
+
+    spark = pb_spark
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id bigint, payload string")
+    out = tempfile.mkdtemp(prefix="aub_xmlprop_")
+    df.write.mode("overwrite").option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).xml(out)
+    back = (
+        spark.read.schema("id bigint, payload string")
+        .option("rowTag", "row")
+        # default trims surrounding whitespace — disable to prove the
+        # escaping itself round-trips whitespace-edge values
+        .option("ignoreSurroundingSpaces", "false")
+        .xml(out)
+    )
+    got = {(r.id, r.payload) for r in back.collect()}
+    assert got == set(rows)
