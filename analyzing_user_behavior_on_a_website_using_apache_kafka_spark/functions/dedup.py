@@ -404,6 +404,143 @@ def prefix_filtered_jaccard_join(
     )
 
 
+_CONTAIN_T = 0.9  # overlap-coefficient threshold (short decimal — see below)
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                 least(len(a.words), len(b.words)), 6) AS overlap
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.words, b.words)) * 10 >=
+          9 * least(len(a.words), len(b.words))
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (containment) dedup: overlap coefficient
+    |A∩B| / min(|A|,|B|) ≥ t over distinct-token sets.
+
+    The dup class Jaccard misses: a document quoted, wrapped in
+    boilerplate, or partially re-scraped inside a larger one has LOW
+    Jaccard (the big doc's extra tokens swamp the union) but overlap ≈ 1
+    — exactly the "contained near-duplicate" a training-data pipeline
+    must catch (quote-inflated corpora double-count the contained text).
+
+    Blocking is an asymmetric prefix filter, lossless for this measure:
+    if |A| ≤ |B| and |A∩B| ≥ ⌈t·|A|⌉, A has fewer than p = |A| −
+    ⌈t·|A|⌉ + 1 tokens outside B, so at least one of A's p rarest
+    (frequency-ordered) tokens is in B. Candidates therefore come from
+    equi-joining each doc's PREFIX tokens against every doc's FULL
+    token postings, restricted to partners of equal-or-larger size —
+    rare tokens keep the posting fan-out bounded. Exact-integer
+    threshold verification (10·inter ≥ 9·min) as in the Jaccard join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_containment_join(d)
+
+
+def prefix_filtered_containment_join(
+    docs: DataFrame, threshold: float = _CONTAIN_T
+) -> DataFrame:
+    """Core containment (overlap-coefficient) join over any
+    (doc_id, text) DataFrame — property-testable on adversarial
+    corpora. ``threshold`` must be a short decimal: prefix length and
+    the acceptance test both use its exact rational form (see
+    prefix_filtered_jaccard_join on why float ceil is lossy)."""
+    from fractions import Fraction
+
+    t = Fraction(str(threshold))
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    words_ex = tok.select("doc_id", F.explode("words").alias("token"))
+    freq = words_ex.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = (
+        words_ex.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("freq", "token"))).alias(
+                "wf"
+            )
+        )
+    )
+    n = F.size("wf")
+    ceil_tn = F.floor(
+        (n * F.lit(t.numerator) + F.lit(t.denominator - 1))
+        / F.lit(t.denominator)
+    )
+    p = (n - ceil_tn + 1).cast("int")
+    # probe side: the p rarest tokens per doc; index side: ALL tokens.
+    # A probe only meets equal-or-larger partners (ties by doc_id keep
+    # exactly one probe direction per equal-size pair alive — both
+    # directions produce the same unordered pair anyway).
+    prefixes = ordered.select(
+        "doc_id",
+        n.alias("nt"),
+        F.explode(
+            F.slice(F.transform("wf", lambda s: s["token"]), F.lit(1), p)
+        ).alias("token"),
+    )
+    postings = ordered.select(
+        "doc_id",
+        n.alias("nt"),
+        F.explode(F.transform("wf", lambda s: s["token"])).alias("token"),
+    )
+    cand = (
+        prefixes.alias("pa")
+        .join(
+            postings.alias("pb"),
+            (F.col("pa.token") == F.col("pb.token"))
+            & (
+                (F.col("pa.nt") < F.col("pb.nt"))
+                | (
+                    (F.col("pa.nt") == F.col("pb.nt"))
+                    & (F.col("pa.doc_id") != F.col("pb.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.least("pa.doc_id", "pb.doc_id").alias("doc_a"),
+            F.greatest("pa.doc_id", "pb.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("words").alias("wa"),
+        F.size("words").alias("na"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("words").alias("wb"),
+        F.size("words").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    mn = F.least("na", "nb")
+    survivors = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", mn.alias("mn"), inter.alias("inter"))
+        .filter(
+            F.col("inter") * F.lit(t.denominator)
+            >= F.lit(t.numerator) * F.col("mn")
+        )
+    )
+    return survivors.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("mn"), 6).alias(
+            "overlap"
+        ),
+    )
+
+
 # --- Duplicate-cluster resolution (connected components) ------------------
 
 _CC_MAX_ITERS = 50  # ≫ O(log n) for any realistic n; loud failure if hit

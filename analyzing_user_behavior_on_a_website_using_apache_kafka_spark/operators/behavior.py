@@ -501,3 +501,88 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("int").alias("is_anomaly"),
     )
+
+
+@query(
+    "q_event_rfm",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM events),
+    base AS (
+      SELECT user_id,
+             date_diff('day', MAX(CAST(ts AS DATE)),
+                       (SELECT ad FROM anchor)) AS recency_days,
+             COUNT(*) AS frequency,
+             COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'),
+                      0.0) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(recency_days AS INT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           ROUND(monetary, 2) AS monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY ROUND(monetary, 2) DESC, user_id)
+                AS INT) AS m_score
+    FROM base
+    """,
+)
+def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user scoring — the classic
+    marketing segmentation over the same click log the reference
+    aggregates per event type: days since last activity (vs the log's
+    anchor date), total events, and purchase revenue, each bucketed
+    into quintiles.
+
+    Plan shape: one groupBy(user_id) shuffle builds the per-user base
+    (conditional purchase sum via FILTER-style aggregate); the anchor
+    date is a 1-row aggregate broadcast back (the q_event_anomaly
+    scalar pattern); the three quintile windows run over the
+    POST-AGGREGATE user table — O(users), not O(events). Determinism:
+    every NTILE ordering carries a user_id tie-break, monetary is
+    rounded to cents BEFORE bucketing (a last-ulp double-sum delta
+    between engines cannot reorder), and recency uses date-level
+    integer arithmetic (no sub-second epoch mismatch).
+
+    100 TB note: a global NTILE over billions of users serializes one
+    sort partition; at that scale swap the exact quintile for
+    approx-percentile cutoff joins (the aggregate base stays
+    identical). At report scale — users that fit a sort — exact
+    quintiles are the right default and match the SQL oracle exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("monetary"),
+    )
+    anchor = base.agg(F.max("last_day").alias("ad"))
+    scored = base.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("ad", "last_day").cast("int").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.round("monetary", 2).alias("monetary"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("int")
+        .alias("m_score"),
+    )

@@ -117,17 +117,19 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_range_frame",
     "q_win_rank",
     "q_win_running",
-    # --- (f) oldest r3 debt + family representatives the 43 above
+    # --- (f) NEW r5 operators (never driver-checked — rotation_check
+    # forces them in-window) + family representatives the keys above
     # don't cover (test_registry pins every family in-window) ---
-    "q_dedup_near",
-    "q_dedup_incremental",
-    "q_pipeline_curate",
+    "q_dedup_containment",
+    "q_sink_foreachbatch",
+    "q_event_rfm",
     "q_sink_upsert",
     "q_multimodal_features",
     "q_sample_mixture",
     "q_udaf_grouped",
     # Every key outside this window has a driver check from r03/r04
-    # (<=2 rounds old after r05 runs).
+    # (<=3 rounds old after r05 runs — the feasible bound; the r3 keys
+    # displaced by the three new operators rotate first in r6).
 )
 
 

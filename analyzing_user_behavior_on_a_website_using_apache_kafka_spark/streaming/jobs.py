@@ -15,6 +15,10 @@ state for dedup/session jobs.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -383,3 +387,92 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     return run_to_memory(agg, "complete")
+
+
+def type_count_upsert(final: str):
+    """foreachBatch writer factory: MERGE per-event-type counts into the
+    partitioned parquet table at ``final`` (read existing totals, sum
+    with the batch's counts, dynamic-partition-overwrite only the types
+    the batch touched). Shared by q_sink_foreachbatch and the
+    multi-batch accumulation test so the tested writer IS the shipped
+    one."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        try:
+            existing = sp.read.parquet(final)
+        except Exception:  # first batch: no sink table yet
+            existing = None
+        if existing is not None:
+            agg = (
+                agg.unionByName(existing)
+                .groupBy("event_type")
+                .agg(F.sum("n_events").alias("n_events"))
+            )
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            agg.write.mode("overwrite").partitionBy("event_type").parquet(
+                final
+            )
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return upsert
+
+
+@query(
+    "q_sink_foreachbatch",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: per-micro-batch MERGE of event-type
+    counts into a partitioned parquet table.
+
+    THE production escape hatch when the target system has no native
+    streaming sink (JDBC, REST, a lakehouse MERGE): foreachBatch hands
+    each micro-batch over as a BATCH DataFrame plus a monotonically
+    increasing batch_id, and the writer is responsible for idempotence.
+    Here the upsert is a read-merge-overwrite keyed on the partition
+    column: existing per-type totals are read back, summed with the
+    batch's counts, and rewritten under dynamic partition overwrite —
+    only the event types present in the batch have their partition
+    replaced, which is also what makes a batch_id-based replay
+    idempotent at the partition level. State never accrues in the
+    stream (the aggregate lives in the sink table), so this scales to
+    unbounded streams with O(distinct types) sink size. Multi-batch
+    accumulation is exercised in tests/test_streaming_incremental.py
+    (two files → two micro-batches); under the driver's one-pass
+    AvailableNow replay the final table equals the batch aggregate —
+    the SQL oracle.
+    """
+    out = tempfile.mkdtemp(prefix="aub_sink_feb_")
+    final = os.path.join(out, "totals")
+    ev = stream_table(spark, sf_dir, "events").select("event_type")
+    name = f"feb_{uuid.uuid4().hex[:12]}"
+    q = (
+        ev.writeStream.foreachBatch(type_count_upsert(final))
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), "aub_ckpt", name),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(final).select(
+        "event_type", F.col("n_events").cast("bigint").alias("n_events")
+    )

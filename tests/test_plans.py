@@ -108,6 +108,7 @@ _BNLJ_ALLOWED = {
     "q_text_tfidf",  # 1-row corpus-size aggregate broadcast
     "q_text_unigram_logprob",  # 1-row corpus-total aggregate broadcast
     "q_event_anomaly",  # 1-row mean/stddev aggregate broadcast
+    "q_event_rfm",  # 1-row anchor-date aggregate broadcast
     "q_sim_ivf",  # corpus/probes × k-centroids routing cross (16-row build side)
 }
 

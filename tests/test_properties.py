@@ -409,3 +409,47 @@ def test_xml_roundtrip_escaping(pb_spark, values):
     )
     got = {(r.id, r.payload) for r in back.collect()}
     assert got == set(rows)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=docs_strategy,
+    threshold=st.sampled_from([0.5, 0.8, 0.9, 0.95]),
+)
+def test_containment_join_is_lossless(pb_spark, docs, threshold):
+    """The asymmetric prefix filter (smaller doc's rare-token prefix vs
+    full postings) claims losslessness for overlap coefficient
+    |A∩B|/min(|A|,|B|) ≥ t — one missed pair on any corpus, at any
+    threshold (including sets fully contained in bigger ones and
+    equal-size ties), falsifies it."""
+    from fractions import Fraction
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        prefix_filtered_containment_join,
+    )
+
+    spark = pb_spark
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_containment_join(
+            df, threshold=threshold
+        ).collect()
+    }
+    t = Fraction(str(threshold))
+    sets = [set(ws) for ws in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            mn = min(len(sets[a]), len(sets[b]))
+            if inter * t.denominator >= t.numerator * mn:
+                want.add((a, b))
+    assert got == want, (sorted(want - got), sorted(got - want))

@@ -247,3 +247,48 @@ def test_dedup_fixture_duplicates_within_watermark_delay(spark, sf_dir):
         .collect()[0]
     )
     assert span.max_span is None or span.max_span < 3600, span.max_span
+
+
+def test_foreachbatch_upsert_accumulates_across_batches(
+    spark, sf_dir, split_log, tmp_path
+):
+    """q_sink_foreachbatch's upsert writer must MERGE per-type counts
+    across micro-batches (read-merge-dynamic-overwrite), not just
+    overwrite with the last batch — the property the one-batch driver
+    replay cannot see."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.jobs import (  # noqa: E501
+        type_count_upsert,
+    )
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_log)
+    )
+    final = str(tmp_path / "totals")
+    name = f"febt_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.select("event_type")
+        .writeStream.foreachBatch(type_count_upsert(final))
+        .option(
+            "checkpointLocation", os.path.join("/tmp/aub_ckpt", name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert len(q.recentProgress) >= 4, "expected one micro-batch per file"
+    got = {
+        r.event_type: r.n_events
+        for r in spark.read.parquet(final).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
