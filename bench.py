@@ -60,6 +60,9 @@ HEADLINE = [
 EXTENDED = [
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
+    # round-5 addition: the containment (overlap-coefficient) join is
+    # the third output-bound pair plan — tracked from its first round
+    "q_dedup_containment",
     # round-3 training-pipeline additions whose plans shuffle the
     # corpus (decontaminate: gram flatMap + broadcast semi-join;
     # unigram LM: vocab agg + exchange-reused word join; packing:
