@@ -29,10 +29,12 @@ _TRAIN_PCT = 80  # q_split_train_test: <80 train, <90 validation, rest test
 _VAL_PCT = 90
 
 
-def hash_bucket(col: Column) -> Column:
-    """Deterministic bucket in [0, 100): first 8 md5 hex chars → int."""
+def hash_bucket(col: Column, mod: int = 100) -> Column:
+    """Deterministic bucket in [0, mod): first 8 md5 hex chars → int.
+    mod=100 for percent-rate sampling; 1_000_000 where rates need ppm
+    resolution (q_sample_temperature)."""
     return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % 100
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % mod
     )
 
 
@@ -90,6 +92,75 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.filter(hash_bucket(F.col("text")) < rate).select(
         "doc_id", "source"
+    )
+
+
+# alpha is fixed at 0.5 (temperature T = 2) and computed via sqrt() —
+# IEEE-exact on both engines, unlike a general pow(n, alpha)
+_PPM = 1_000_000  # rate resolution: integer parts-per-million thresholds
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    s AS (SELECT SUM(sqrt(n)) AS tot FROM c),
+    q AS (SELECT lang, n, sqrt(n) / (SELECT tot FROM s) AS ql FROM c),
+    m AS (SELECT MIN(n / ql) AS cap FROM q),
+    r AS (
+      SELECT lang,
+             CAST(round((SELECT cap FROM m) * ql / n * {_PPM}) AS BIGINT)
+               AS thr
+      FROM q
+    )
+    SELECT d.doc_id, d.lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % {_PPM}
+               AS b
+      FROM documents
+    ) d JOIN r USING (lang)
+    WHERE d.b < r.thr
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language resampling (alpha = 1/T = 0.5): the
+    canonical multilingual-pretraining mixture (XLM / mT5 style) —
+    target share of language l is n_l^alpha / SUM n_k^alpha, flattening
+    the head and up-weighting tail languages; the realized sample is
+    the LARGEST corpus honoring those shares with every per-language
+    rate <= 1 (cap = min_l n_l / q_l, the size at which the scarcest
+    up-weighted language is fully consumed).
+
+    Deterministic end-to-end: rates derive from exact counts and round
+    to integer parts-per-million thresholds (double math agrees across
+    engines to ~1e-12 relative — six orders below the rounding step),
+    and membership is the same content-hash bucket rule as
+    q_sample_mixture, at ppm resolution — reproducible, churn-free
+    under rate increases, exact-duplicate texts decide identically.
+
+    Plan shape: one count shuffle to O(languages) rows; two 1-ROW
+    aggregates broadcast back (the q_event_anomaly scalar pattern);
+    per-doc membership is a broadcast join on lang + a map-side
+    predicate. Nothing after the first count touches O(docs) state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(F.sum(F.sqrt("n")).alias("tot"))
+    q = c.crossJoin(F.broadcast(s)).select(
+        "lang", "n", (F.sqrt("n") / F.col("tot")).alias("ql")
+    )
+    m = q.agg(F.min(F.col("n") / F.col("ql")).alias("cap"))
+    r = q.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.round(F.col("cap") * F.col("ql") / F.col("n") * _PPM)
+        .cast("bigint")
+        .alias("thr"),
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(hash_bucket(F.col("text"), _PPM) < F.col("thr"))
+        .select("doc_id", "lang")
     )
 
 

@@ -123,9 +123,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_sink_foreachbatch",
     "q_event_rfm",
+    "q_sample_temperature",
     "q_sink_upsert",
     "q_multimodal_features",
-    "q_sample_mixture",
     "q_udaf_grouped",
     # Every key outside this window has a driver check from r03/r04
     # (<=3 rounds old after r05 runs — the feasible bound; the r3 keys

@@ -109,6 +109,7 @@ _BNLJ_ALLOWED = {
     "q_text_unigram_logprob",  # 1-row corpus-total aggregate broadcast
     "q_event_anomaly",  # 1-row mean/stddev aggregate broadcast
     "q_event_rfm",  # 1-row anchor-date aggregate broadcast
+    "q_sample_temperature",  # 1-row sqrt-mass + cap aggregate broadcasts
     "q_sim_ivf",  # corpus/probes × k-centroids routing cross (16-row build side)
 }
 
