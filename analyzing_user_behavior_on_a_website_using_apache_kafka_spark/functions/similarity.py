@@ -454,6 +454,123 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization (PQ) encode -------------------------------------
+
+_PQ_M = 8  # sub-spaces (64-dim embedding -> 8 x 8-dim sub-vectors)
+_PQ_SUB = 8  # dims per sub-space
+_PQ_KS = 16  # codes per sub-space codebook
+
+
+@query(
+    "q_embed_pq",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    samp AS (
+      SELECT vec_id AS k, emb AS cemb FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_KS}
+    ),
+    subc AS (
+      SELECT m.m, s.k, d.d,
+             s.cemb[CAST(m.m * {_PQ_SUB} + d.d + 1 AS INT)] AS cx
+      FROM samp s, range({_PQ_M}) m(m), range({_PQ_SUB}) d(d)
+    ),
+    vecd AS (
+      SELECT vec_id, m.m, d.d,
+             emb[CAST(m.m * {_PQ_SUB} + d.d + 1 AS INT)] AS x
+      FROM v, range({_PQ_M}) m(m), range({_PQ_SUB}) d(d)
+    ),
+    dist AS (
+      SELECT vecd.vec_id, vecd.m, subc.k,
+             SUM((x - cx) * (x - cx)) AS d2
+      FROM vecd JOIN subc ON vecd.m = subc.m AND vecd.d = subc.d
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, k, d2 FROM (
+        SELECT vec_id, m, k, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS pq_code,
+           ROUND(SUM(d2) / {_PQ_M * _PQ_SUB}, 6) AS mse
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011): each
+    64-dim embedding becomes {_PQ_M} codebook ids — one per 8-dim
+    sub-vector — plus its reconstruction MSE.
+
+    THE storage-side companion to the IVF/LSH search paths: at 100 TB,
+    raw float32 embeddings dominate the corpus footprint; PQ at these
+    parameters stores {_PQ_M} small ids per vector (32x-plus
+    compression) and powers asymmetric-distance search over codes. The
+    codebook here is the same deterministic md5-ranked corpus sample as
+    q_sim_ivf's quantizer, sliced per sub-space, and the code for a
+    sub-space is the ID of its nearest sampled vector (no opaque
+    0..k-1 renumbering — keeps the whole pipeline SQL-replayable; swap
+    in per-sub-space k-means for tighter cells, the encode plan is
+    identical).
+
+    Plan shape: the codebook is O({_PQ_KS}) rows broadcast; each
+    vector explodes to {_PQ_M} sub-vectors, joins the {_PQ_M} x
+    {_PQ_KS}-row sub-codebook on sub-space id, and argmins via one
+    lexicographic struct-min aggregate — map-side combinable, no
+    window over the corpus. Tie-breaks are (d2, k); cross-engine float
+    margins are fixture-measured in tests/test_northstar.py (the IVF
+    methodology).
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    samp = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_KS)
+        .select(F.col("vec_id").alias("k"), F.col("emb").alias("cemb"))
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB),
+    )
+    cslices = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.slice("cemb", m * _PQ_SUB + 1, _PQ_SUB),
+    )
+    vsub = v.select(
+        "vec_id", F.posexplode(slices).alias("m", "sub")
+    )
+    csub = samp.select(
+        "k", F.posexplode(cslices).alias("m", "csub")
+    )
+    dist = vsub.join(F.broadcast(csub), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        _sq_dist(F.col("sub"), F.col("csub")).alias("d2"),
+    )
+    best = dist.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("b")
+    )
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("b.k").alias("k")))
+                ),
+                lambda st_: st_["k"].cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.round(F.sum("b.d2") / F.lit(_PQ_M * _PQ_SUB), 6).alias("mse"),
+    )
+
+
 _LSH_ORACLE_PLANES = """
     s0 AS (
       SELECT t.t, p.p, d.d,

@@ -124,7 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sink_foreachbatch",
     "q_event_rfm",
     "q_sample_temperature",
-    "q_sink_upsert",
+    "q_embed_pq",
     "q_multimodal_features",
     "q_udaf_grouped",
     # Every key outside this window has a driver check from r03/r04

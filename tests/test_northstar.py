@@ -562,3 +562,47 @@ def test_ivf_tie_margins_dominate_float_error(sf_dir):
     # enough that any real fixture passes (measured: >=1.6e-5 assign)
     assert assign_gap > 1e-9, f"near-tie centroid assignment: {assign_gap}"
     assert route_gap > 1e-9, f"near-tie probe routing: {route_gap}"
+
+
+def test_pq_tie_margins_dominate_float_error(sf_dir):
+    """q_embed_pq twin of the IVF margin guard: per-sub-space nearest-
+    code argmin compares 8-term squared distances summed in different
+    orders across engines; the min rank-1->rank-2 gap must dwarf
+    summation-order error (~8*eps*|d2| ~ 2e-15) on the CURRENT
+    fixture."""
+    import duckdb
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _PQ_KS,
+        _PQ_M,
+        _PQ_SUB,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    cids = [
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM (SELECT vec_id, "
+            "md5(CAST(vec_id AS VARCHAR)) h FROM embeddings) "
+            f"ORDER BY h, vec_id LIMIT {_PQ_KS}"
+        ).fetchall()
+    ]
+    cent = x[np.searchsorted(ids, cids)]
+    worst = np.inf
+    for m in range(_PQ_M):
+        sl = slice(m * _PQ_SUB, (m + 1) * _PQ_SUB)
+        d2 = ((x[:, None, sl] - cent[None, :, sl]) ** 2).sum(axis=2)
+        d2s = np.sort(d2, axis=1)
+        worst = min(worst, float((d2s[:, 1] - d2s[:, 0]).min()))
+    assert worst > 1e-9, f"near-tie PQ code assignment: {worst}"
