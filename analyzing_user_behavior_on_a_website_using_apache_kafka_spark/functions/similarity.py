@@ -458,7 +458,53 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 8  # sub-spaces (64-dim embedding -> 8 x 8-dim sub-vectors)
 _PQ_SUB = 8  # dims per sub-space
-_PQ_KS = 16  # codes per sub-space codebook
+_PQ_KS = 64  # codes per sub-space codebook (production PQ uses 256 =
+# 8-bit codes; 64 balances encode cost against the fixture's 500-vector
+# corpus, where a larger sample stops being a "codebook")
+
+
+def _pq_subcodebook(v: DataFrame) -> DataFrame:
+    """(m, k, csub): the per-sub-space codebook — the _PQ_KS md5-ranked
+    sample vectors sliced into _PQ_M sub-vectors. O(M x KS) rows; always
+    broadcast."""
+    samp = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_KS)
+        .select(F.col("vec_id").alias("k"), F.col("emb").alias("cemb"))
+    )
+    cslices = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.slice("cemb", m * _PQ_SUB + 1, _PQ_SUB),
+    )
+    return samp.select("k", F.posexplode(cslices).alias("m", "csub"))
+
+
+def _pq_slices(v: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each vector exploded into its sub-vectors."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB),
+    )
+    return v.select("vec_id", F.posexplode(slices).alias("m", "sub"))
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, b{d2,k}): per-sub-space nearest-code assignment —
+    shared by q_embed_pq (encode view) and q_sim_pq_adc (search)."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    csub = _pq_subcodebook(v)
+    dist = _pq_slices(v).join(F.broadcast(csub), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        _sq_dist(F.col("sub"), F.col("csub")).alias("d2"),
+    )
+    return dist.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("b")
+    )
 
 
 @query(
@@ -525,38 +571,7 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins are fixture-measured in tests/test_northstar.py (the IVF
     methodology).
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    samp = (
-        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(_PQ_KS)
-        .select(F.col("vec_id").alias("k"), F.col("emb").alias("cemb"))
-    )
-    slices = F.transform(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        lambda m: F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB),
-    )
-    cslices = F.transform(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-        lambda m: F.slice("cemb", m * _PQ_SUB + 1, _PQ_SUB),
-    )
-    vsub = v.select(
-        "vec_id", F.posexplode(slices).alias("m", "sub")
-    )
-    csub = samp.select(
-        "k", F.posexplode(cslices).alias("m", "csub")
-    )
-    dist = vsub.join(F.broadcast(csub), "m").select(
-        "vec_id",
-        "m",
-        "k",
-        _sq_dist(F.col("sub"), F.col("csub")).alias("d2"),
-    )
-    best = dist.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d2", "k")).alias("b")
-    )
+    best = pq_codes(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.concat_ws(
             "-",
@@ -568,6 +583,120 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pq_code"),
         F.round(F.sum("b.d2") / F.lit(_PQ_M * _PQ_SUB), 6).alias("mse"),
+    )
+
+
+@query(
+    "q_sim_pq_adc",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    samp AS (
+      SELECT vec_id AS k, emb AS cemb FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_KS}
+    ),
+    subc AS (
+      SELECT m.m, s.k, d.d,
+             s.cemb[CAST(m.m * {_PQ_SUB} + d.d + 1 AS INT)] AS cx
+      FROM samp s, range({_PQ_M}) m(m), range({_PQ_SUB}) d(d)
+    ),
+    vecd AS (
+      SELECT vec_id, m.m, d.d,
+             emb[CAST(m.m * {_PQ_SUB} + d.d + 1 AS INT)] AS x
+      FROM v, range({_PQ_M}) m(m), range({_PQ_SUB}) d(d)
+    ),
+    dist AS (
+      SELECT vecd.vec_id, vecd.m, subc.k,
+             SUM((x - cx) * (x - cx)) AS d2
+      FROM vecd JOIN subc ON vecd.m = subc.m AND vecd.d = subc.d
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT pt.vec_id AS probe_id, b.vec_id AS cand_id,
+             ROUND(SUM(pt.d2), 6) AS adc_dist2
+      FROM best b
+      JOIN dist pt ON pt.m = b.m AND pt.k = b.k
+      WHERE pt.vec_id < {N_PROBES} AND b.vec_id <> pt.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, cand_id, adc_dist2, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT probe_id, cand_id, adc_dist2,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY adc_dist2, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.,
+    TPAMI 2011) — the search path product quantization exists for.
+
+    Each probe computes a DISTANCE TABLE: its squared distance to every
+    (sub-space, code) codebook entry — O(probes x M x KS) values,
+    broadcast. A candidate's approximate distance is then M table
+    LOOKUPS summed over its stored code ids — the candidate's raw
+    floats are NEVER read at query time, which is the whole economics
+    of PQ at 100 TB: the scan side touches only the code table
+    (M small ids per vector, 32x+ smaller than raw embeddings), and
+    scoring is a broadcast equi-join on (sub-space, code) plus a
+    map-side-combinable sum. Ranking orders by the ROUNDED (6 dp) ADC
+    distance with a cand_id tie-break, so cross-engine summation-order
+    deltas (~1e-15) cannot reorder the top-k.
+
+    Approximation quality (ADC top-k vs exact cosine top-k) is gated
+    in tests/test_northstar.py — the one property the exact SQL replay
+    cannot check.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    csub = _pq_subcodebook(v)
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "emb"
+    )
+    pslices = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB),
+    )
+    ptab = (
+        probes.select("probe_id", F.posexplode(pslices).alias("m", "psub"))
+        .join(F.broadcast(csub), "m")
+        .select(
+            "probe_id",
+            "m",
+            "k",
+            _sq_dist(F.col("psub"), F.col("csub")).alias("td2"),
+        )
+    )
+    codes = pq_codes(spark, sf_dir).select(
+        "vec_id", "m", F.col("b.k").alias("k")
+    )
+    scored = (
+        codes.join(F.broadcast(ptab), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.round(F.sum("td2"), 6).alias("adc_dist2"))
+    )
+    w = W.partitionBy("probe_id").orderBy("adc_dist2", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            "adc_dist2",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )
 
 

@@ -56,8 +56,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY: tuple[str, ...] = (
     # Round-5 window (VERDICT r4 items 1 & 8).  Composition, in order:
     #   (a) the 3 r4-new keys that have never had a driver CORRECTNESS row;
-    #   (b) the arbitrary-state streaming rep (r3-stale; its planned
-    #       transformWithState twin is environment-blocked — see the
+    #   (b) the six NEW r5 operators (never driver-checked —
+    #       rotation_check forces them in-window; the planned
+    #       transformWithState key is environment-blocked, see the
     #       note in _ensure_loaded);
     #   (c) every key whose implementation or oracle CHANGED in r5 and so
     #       needs a fresh row (edge-set memoization: jaccard+clusters;
@@ -73,8 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_source_binaryfile",
     "q_source_xml",
     "q_event_anomaly",
-    # --- (b) arbitrary-state streaming (r3) ---
-    "q_stream_custom_state",
+    # --- (b) new in r5: PQ search path ---
+    "q_sim_pq_adc",
     # --- (c) changed in r5 ---
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",

@@ -606,3 +606,46 @@ def test_pq_tie_margins_dominate_float_error(sf_dir):
         d2s = np.sort(d2, axis=1)
         worst = min(worst, float((d2s[:, 1] - d2s[:, 0]).min()))
     assert worst > 1e-9, f"near-tie PQ code assignment: {worst}"
+
+
+def test_pq_adc_recall_vs_exact_euclidean(spark, sf_dir):
+    """ADC top-k approximates EUCLIDEAN nearest neighbors (the measure
+    PQ codes quantize) — gate it against the exact euclidean top-k, not
+    the cosine brute-force key. The iid-uniform fixture is PQ's
+    worst case (no cluster structure, concentrated distances): measured
+    mean recall 0.24 at both sf0.001/sf0.01 with KS=64; floor 0.10
+    leaves regeneration headroom while still catching a broken
+    code/table join (recall ~1/50 under random ranking)."""
+    import duckdb
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        N_PROBES,
+        TOP_K,
+    )
+
+    qs = registry.all_queries()
+    adc = {}
+    for r in qs["q_sim_pq_adc"](spark, sf_dir).collect():
+        adc.setdefault(r.probe_id, set()).add(r.cand_id)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    recalls = []
+    for p in range(N_PROBES):
+        pi = int(np.searchsorted(ids, p))
+        ed = ((x - x[pi]) ** 2).sum(axis=1)
+        ed[pi] = np.inf
+        exact = set(ids[np.argsort(ed, kind="stable")[:TOP_K]].tolist())
+        recalls.append(len(exact & adc.get(p, set())) / TOP_K)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.10, f"ADC euclidean recall {mean:.2f} below floor"
