@@ -649,3 +649,26 @@ def test_pq_adc_recall_vs_exact_euclidean(spark, sf_dir):
         recalls.append(len(exact & adc.get(p, set())) / TOP_K)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.10, f"ADC euclidean recall {mean:.2f} below floor"
+
+
+def test_pair_cache_keyed_per_corpus(spark):
+    """The verified-pairs memo (dedup._PAIR_CACHE) must key on the
+    corpus path: serving one sf_dir's persisted pairs to another would
+    silently corrupt every downstream dedup result."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    a = ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+    b = ngram_jaccard_pairs(spark, "/root/testdata/sf0.01")
+    a2 = ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+    assert a is a2, "same corpus must hit the memo"
+    assert a is not b, "different corpora must never share a memo entry"
+    # and the cached plans genuinely read different inputs
+    pa = a.sparkSession._jvm.PythonSQLUtils.explainString(
+        a._jdf.queryExecution(), "simple"
+    )
+    pb = b.sparkSession._jvm.PythonSQLUtils.explainString(
+        b._jdf.queryExecution(), "simple"
+    )
+    assert "sf0.001" in pa and "sf0.001" not in pb
