@@ -1120,3 +1120,267 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fp_idx").isNull().cast("int").alias("is_new"),
         )
     )
+
+
+# --- Exact duplicated-substring detection -----------------------------------
+
+_SUBSTR_K = 8  # shingle width in words (production: ~50 BPE tokens)
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[i:i+{_SUBSTR_K - 1}], ' ')) AS h
+      FROM w, LATERAL (
+        SELECT unnest(range(1, len(toks) - {_SUBSTR_K} + 2)) AS i
+      ) r
+    ),
+    docfreq AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+      SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM sh LEFT JOIN docfreq d ON sh.h = d.h
+      GROUP BY sh.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+           ROUND(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                      ELSE COALESCE(p.n_dup, 0) * 1.0 / p.n_shingles
+                 END, 6) AS dup_span_frac,
+           CAST(CASE WHEN COALESCE(p.n_dup, 0) > 0 THEN 1 ELSE 0 END
+                AS INT) AS has_dup_span
+    FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection: which parts of which documents
+    are verbatim repeats of text elsewhere in the corpus.
+
+    The dup class document-level dedup misses entirely: two documents
+    sharing one long boilerplate paragraph (license header, nav bar,
+    syndicated quote) are distinct as wholes — exact hash, MinHash and
+    SimHash all keep both — yet a training pipeline wants the repeated
+    span found and (usually) cut, because verbatim repeats induce
+    memorization (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — their ExactSubstr dedup). Their
+    single-node suffix array does not distribute; the standard
+    cluster-scale equivalent implemented here is fixed-width shingle
+    postings: every {_SUBSTR_K}-word window is hashed, and a window
+    whose hash occurs in ≥2 distinct documents is a duplicated span
+    (any shared substring of ≥ {_SUBSTR_K} words contains such a
+    window, so detection at granularity {_SUBSTR_K} is exhaustive —
+    boundaries are found within {_SUBSTR_K}-1 words).
+
+    Output: one row per document with its shingle count, duplicated-
+    shingle count, duplicated fraction and a flag — the per-document
+    signal a curation pipeline thresholds on.
+
+    Scale shape: a map-side explode into (doc_id, 16-byte md5) postings;
+    one groupBy h (partial-agg'd distinct-doc count — the HAVING > 1
+    set is the only state); one equi-join back on h; one groupBy doc_id.
+    The shuffle carries hashes, never text. At 100 TB the >1-doc hash
+    set is a small fraction of postings and can additionally be bloom-
+    broadcast to prune the join's probe side; the shingle width trades
+    index size (n_words postings regardless of k) against boundary
+    resolution, exactly as in the paper.
+    """
+    return substring_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def substring_dup_stats(
+    d: DataFrame, k: int = _SUBSTR_K
+) -> DataFrame:
+    """Core duplicated-span statistics over any (doc_id, text)
+    DataFrame — separated from the registered query so property tests
+    can drive it with adversarial constructed corpora (exact copies,
+    embedded spans, sub-shingle-width docs)."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    nt = F.size(toks)
+    hashes = F.when(
+        nt >= k,
+        F.transform(
+            F.sequence(F.lit(1), nt - k + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(hashes).alias("h"))
+    docfreq = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        sh.join(docfreq, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup"),
+        )
+    )
+    n_sh = F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+    n_dup = F.coalesce("n_dup", F.lit(0)).cast("bigint")
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_dup.alias("n_dup_shingles"),
+            F.round(
+                F.when(n_sh == 0, F.lit(0.0)).otherwise(
+                    F.col("n_dup") / F.col("n_shingles")
+                ),
+                6,
+            ).alias("dup_span_frac"),
+            (n_dup > 0).cast("int").alias("has_dup_span"),
+        )
+    )
+
+
+# --- Semantic dedup (SemDeDup) ----------------------------------------------
+
+_SEM_K = 16  # coarse clusters; SemDeDup scales k with corpus size
+_SEM_TAU = 0.35  # within-cluster cosine threshold (fixture-calibrated)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    centroids AS (
+      SELECT vec_id AS cell, emb AS cemb FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SEM_K}
+    ),
+    vecd AS (
+      SELECT vec_id, d.d, emb[CAST(d.d + 1 AS INT)] AS x
+      FROM v, range(64) d(d)
+    ),
+    centd AS (
+      SELECT cell, d.d, cemb[CAST(d.d + 1 AS INT)] AS cx
+      FROM centroids, range(64) d(d)
+    ),
+    dist AS (
+      SELECT vecd.vec_id, centd.cell,
+             SUM((vecd.x - centd.cx) * (vecd.x - centd.cx)) AS dist2
+      FROM vecd JOIN centd USING (d)
+      GROUP BY vecd.vec_id, centd.cell
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    qual AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v x ON x.vec_id = a.vec_id
+      JOIN v y ON y.vec_id = b.vec_id
+      WHERE list_dot_product(x.emb, y.emb) /
+              (sqrt(list_dot_product(x.emb, x.emb)) *
+               sqrt(list_dot_product(y.emb, y.emb))) >= {_SEM_TAU}
+    ),
+    drops AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM qual GROUP BY id_b
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_semantic_dup,
+           CAST(d.dup_of AS BIGINT) AS dup_of
+    FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): drop documents whose
+    EMBEDDINGS are near-identical within a coarse cluster — paraphrases,
+    re-renderings and template variants that no lexical dedup (hash,
+    MinHash, SimHash, substring) can see, because the surface strings
+    differ while the meaning does not.
+
+    Pipeline, exactly the paper's shape: (1) coarse-cluster the
+    embedding space — here the same deterministic md5-sampled {_SEM_K}
+    centroids as q_sim_ivf (swap in k-means at will; routing identical);
+    (2) WITHIN each cluster only, compare all member pairs by cosine;
+    (3) in every group of pairwise-similar members (cosine ≥ τ =
+    {_SEM_TAU}) keep one representative. Keeper rule is deterministic
+    min-vec_id (the house rule of every dedup op here); each dropped
+    vector reports its keeper as dup_of.
+
+    Clustering is what makes the quadratic step tractable: pairwise
+    work is Σ|cluster|² not n² — at 100 TB k grows so clusters stay
+    executor-sized (SemDeDup uses k ≈ 10⁵ on LAION), the member
+    self-join is an equi hash join on the cell id, and the corpus is
+    never cross-joined. The broadcast in the assignment step is the
+    k×dim centroid table only.
+
+    FULLY oracle-checked like q_sim_ivf: sampled centroids make the
+    whole pipeline a pure function the DuckDB oracle replays — centroid
+    pick, (dist², cell)-tie-broken assignment, within-cell pair scan,
+    τ-threshold and min-id keeper. Cross-engine float safety: measured
+    min |cosine − τ| margin on the fixtures is 7.1e-5 (sf0.01) /
+    1.6e-5 (sf0.1), and min rank-1→2 assignment gap 1.7e-4 / 3.6e-6 —
+    ≥8 orders above the ~2e-14 reordering error of a 64-term double
+    sum (tests/test_northstar.py re-checks on the current fixture).
+    """
+    from .similarity import _sq_dist, cosine
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    centroids = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_SEM_K)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
+    )
+    dist = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell",
+        _sq_dist(F.col("emb"), F.col("centroid")).alias("dist2"),
+    )
+    assigned = dist.groupBy("vec_id").agg(
+        F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
+    )
+    member = assigned.join(v, "vec_id")
+    a = member.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea")
+    )
+    b = member.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("emb").alias("eb")
+    )
+    qual = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= _SEM_TAU)
+        .select("id_a", "id_b")
+    )
+    drops = (
+        qual.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", "vec_id")
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dup_of").isNotNull().cast("int").alias("is_semantic_dup"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+    )

@@ -64,7 +64,10 @@ _PRIORITY: tuple[str, ...] = (
     #       needs a fresh row (edge-set memoization: jaccard+clusters;
     #       simhash oracle tokenization alignment; IVF margin work);
     #   (d) ALL 15 keys last driver-checked in r1 (3 rounds stale);
-    #   (e) ALL 20 keys last driver-checked in r2;
+    #   (e) 18 of the 20 keys last driver-checked in r2
+    #       (q_text_langstats / q_text_normalize were displaced for the
+    #       two late-r5 dedup operators — at exactly the 3-round bound
+    #       after r5, they rotate FIRST in r6);
     #   (f) 7 oldest/heaviest r3 keys with the remaining slots.
     # After this window runs, no key's latest check is >2 rounds old.
     # (Steady state: 130 keys / 50-key windows makes a strict <=2-round
@@ -108,8 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_kafka_source",
     "q_stream_sliding",
     "q_text_langid",
-    "q_text_langstats",
-    "q_text_normalize",
     "q_text_quality",
     "q_text_tokens",
     "q_topk_per_group",
@@ -122,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     # forces them in-window) + family representatives the keys above
     # don't cover (test_registry pins every family in-window) ---
     "q_dedup_containment",
+    "q_dedup_substring",
+    "q_dedup_semantic",
     "q_sink_foreachbatch",
     "q_event_rfm",
     "q_sample_temperature",

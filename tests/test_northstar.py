@@ -672,3 +672,167 @@ def test_pair_cache_keyed_per_corpus(spark):
         b._jdf.queryExecution(), "simple"
     )
     assert "sf0.001" in pa and "sf0.001" not in pb
+
+
+def test_semantic_tie_margins_dominate_float_error(sf_dir):
+    """q_dedup_semantic twin of the IVF margin guard. Two cross-engine
+    decisions exist: nearest-centroid assignment (dist² fold vs GROUP BY
+    sum — same centroid rule as IVF) and the cosine-vs-τ threshold.
+    Re-measured on the CURRENT fixture so a regenerated dataset that
+    lands a genuine near-tie fails loudly here, not as a driver
+    hash-mismatch."""
+    import duckdb
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _SEM_K,
+        _SEM_TAU,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    cids = [
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM (SELECT vec_id, "
+            "md5(CAST(vec_id AS VARCHAR)) h FROM embeddings) "
+            f"ORDER BY h, vec_id LIMIT {_SEM_K}"
+        ).fetchall()
+    ]
+    cent = x[np.searchsorted(ids, cids)]
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    d2_sorted = np.sort(d2, axis=1)
+    assign_gap = float((d2_sorted[:, 1] - d2_sorted[:, 0]).min())
+    assert assign_gap > 1e-9, f"near-tie centroid assignment: {assign_gap}"
+    # threshold margin: min |cosine - tau| over within-cluster pairs
+    assign = np.array(
+        [np.array(cids)[np.lexsort((cids, d2[i]))[0]] for i in range(len(ids))]
+    )
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    tau_margin = 1.0
+    for c in cids:
+        m = np.where(assign == c)[0]
+        if len(m) < 2:
+            continue
+        sims = (xn[m] @ xn[m].T)[np.triu_indices(len(m), 1)]
+        tau_margin = min(tau_margin, float(np.abs(sims - _SEM_TAU).min()))
+    # measured >= 1.6e-5 across fixtures; reorder error of a 64-term
+    # double dot product is ~2e-14
+    assert tau_margin > 1e-9, f"near-tie cosine threshold: {tau_margin}"
+
+
+def test_semantic_dedup_drops_are_witnessed(spark, sf_dir):
+    """Every dropped vector's keeper must (a) precede it by id, (b) live
+    in the same cluster, and (c) actually clear the cosine threshold —
+    the end-to-end SemDeDup contract, checked against the registered
+    query's own output plus a recomputed cosine."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _SEM_TAU,
+        q_dedup_semantic,
+    )
+
+    res = q_dedup_semantic(spark, sf_dir)
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert res.count() == n_total  # one row per corpus vector
+    rows = res.collect()  # 500 fixture rows — fine to verify driver-side
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+    dropped = [r for r in rows if r["is_semantic_dup"] == 1]
+    assert dropped, "fixture should contain semantic dups"
+    for r in dropped:
+        assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+        assert cell_of[r["dup_of"]] == r["cell"]  # keeper in same cluster
+    assert all(r["dup_of"] is None for r in rows if r["is_semantic_dup"] == 0)
+    # cosine(vec, keeper) >= tau — recomputed independently (numpy)
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in dropped:
+        a, b = emb[r["vec_id"]], emb[r["dup_of"]]
+        sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert sim >= _SEM_TAU, (r["vec_id"], r["dup_of"], sim)
+
+
+def test_substring_dedup_fixture_sanity(spark, sf_dir):
+    """On the real corpus: one row per doc, dup counts bounded by
+    shingle counts, and the fixture's planted near-dups must surface as
+    shared spans (a duplicated shingle needs >=2 docs, so flagged docs
+    always come in groups of >=2)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        q_dedup_substring,
+    )
+
+    res = q_dedup_substring(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    assert res.count() == d.count()
+    assert (
+        res.filter(F.col("n_dup_shingles") > F.col("n_shingles")).count() == 0
+    )
+    n_flagged = res.filter(F.col("has_dup_span") == 1).count()
+    assert n_flagged >= 2, "fixture should contain shared spans"
+
+
+def test_substring_dedup_constructed_corpus():
+    """Adversarial constructed corpus for the span detector:
+
+    - an exact copy pair -> both docs 100% duplicated;
+    - a doc embedding another doc's >=k-word span inside fresh text ->
+      the span's windows (and only those) flagged on BOTH sides;
+    - a doc shorter than the shingle width -> zero shingles;
+    - an unrelated doc -> zero duplicated windows.
+    """
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _SUBSTR_K,
+        substring_dup_stats,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("test")
+    k = _SUBSTR_K
+    span = " ".join(f"s{i}" for i in range(k))  # exactly k words
+    docs = [
+        (1, "a b " + span + " y z"),  # span embedded mid-doc
+        (2, span),  # the bare span (exact k words)
+        (3, "one two three"),  # shorter than k -> no shingles
+        (4, " ".join(f"u{i}" for i in range(3 * k))),  # unrelated
+        (5, " ".join(f"u{i}" for i in range(3 * k))),  # exact copy of 4
+    ]
+    res = {
+        r["doc_id"]: r
+        for r in substring_dup_stats(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    # doc 1: k+4 words -> 5 windows, exactly 1 (the span itself) shared
+    assert res[1]["n_shingles"] == 5
+    assert res[1]["n_dup_shingles"] == 1
+    assert res[1]["has_dup_span"] == 1
+    # doc 2: single window, fully duplicated
+    assert res[2]["n_shingles"] == 1
+    assert res[2]["dup_span_frac"] == 1.0
+    # doc 3: below shingle width
+    assert res[3]["n_shingles"] == 0
+    assert res[3]["has_dup_span"] == 0
+    # docs 4/5: exact copies -> every window duplicated on both sides
+    for d_id in (4, 5):
+        assert res[d_id]["n_shingles"] == 2 * k + 1
+        assert res[d_id]["dup_span_frac"] == 1.0
