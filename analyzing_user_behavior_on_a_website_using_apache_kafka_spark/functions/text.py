@@ -868,3 +868,92 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- Vocabulary induction ---------------------------------------------------
+
+_VOCAB_SIZE = 100  # emitted vocabulary cut
+
+
+@query(
+    "q_text_vocab",
+    oracle=f"""
+    WITH counts AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    tot AS (SELECT SUM(cnt) AS t FROM counts)
+    SELECT CAST(rnk AS BIGINT) AS rnk, word, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cum * 1.0 / t, 6) AS coverage
+    FROM (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    ), tot
+    WHERE rnk <= {_VOCAB_SIZE}
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: the corpus vocabulary ranked by
+    frequency with CUMULATIVE token coverage — the table a tokenizer
+    build reads to pick a vocab size ("how many types cover 99.5% of
+    tokens?") and the first step of any BPE/WordPiece training run.
+
+    The scale hazard is the global rank + running sum: one unbounded
+    window = one reducer owning the whole vocabulary (~10⁷ types at
+    100 TB). Two-phase instead, the q_pack_sequences prefix-sum trick
+    keyed by an INTEGER magnitude bucket, length(bin(cnt)) =
+    ⌊log₂ cnt⌋+1: every type in bucket b+1 outranks every type in
+    bucket b (min of [2ᵇ, 2ᵇ⁺¹) > max of [2ᵇ⁻¹, 2ᵇ)), so per-bucket
+    windows ordered (cnt DESC, word) plus a running offset over the
+    ~64-row bucket-totals table reconstruct the EXACT global rank and
+    cumulative sum — no stage ever holds more than one bucket's types,
+    and Zipf puts the huge buckets at the tail (rare types) where rows
+    are many but per-row work is nil. The bucket is integer arithmetic,
+    not float log₂ — no cross-engine boundary risk. Coverage divides
+    two exact integers; the oracle's single global window is the
+    semantic twin.
+    """
+    counts = tokenized(spark, sf_dir).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bucket = F.length(F.bin("cnt")).alias("bkt")
+    counts = counts.select("word", "cnt", bucket)
+    w_in = W.partitionBy("bkt").orderBy(F.col("cnt").desc(), "word")
+    local = counts.select(
+        "word",
+        "cnt",
+        "bkt",
+        F.row_number().over(w_in).alias("lrnk"),
+        F.sum("cnt")
+        .over(w_in.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("lcum"),
+    )
+    btot = counts.groupBy("bkt").agg(
+        F.sum("cnt").alias("stot"), F.count(F.lit(1)).alias("ntypes")
+    )
+    wo = W.orderBy(F.col("bkt").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bkt",
+        F.coalesce(F.sum("stot").over(wo), F.lit(0)).alias("cum_off"),
+        F.coalesce(F.sum("ntypes").over(wo), F.lit(0)).alias("rnk_off"),
+    )
+    tot = counts.agg(F.sum("cnt").alias("t"))
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("rnk_off") + F.col("lrnk")).cast("bigint").alias("rnk"),
+            "word",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                (F.col("cum_off") + F.col("lcum")) / F.col("t"), 6
+            ).alias("coverage"),
+        )
+        .filter(F.col("rnk") <= _VOCAB_SIZE)
+    )

@@ -79,11 +79,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_event_anomaly",
     # --- (b) new in r5: PQ search path ---
     "q_sim_pq_adc",
-    # --- (c) changed in r5 ---
+    # --- (c) changed in r5 (q_sim_ivf's r5 delta was docstring+test
+    # only — its r4 row stays valid, so it yields its slot to the
+    # late-r5 q_text_vocab and rotates in r6) ---
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_dedup_simhash",
-    "q_sim_ivf",
     # --- (d) r1-stale, all 15 ---
     "q_filter_null",
     "q_union_distinct",
@@ -129,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_event_rfm",
     "q_sample_temperature",
     "q_embed_pq",
+    "q_text_vocab",
     "q_multimodal_features",
     "q_udaf_grouped",
     # Every key outside this window has a driver check from r03/r04

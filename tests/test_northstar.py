@@ -836,3 +836,49 @@ def test_substring_dedup_constructed_corpus():
     for d_id in (4, 5):
         assert res[d_id]["n_shingles"] == 2 * k + 1
         assert res[d_id]["dup_span_frac"] == 1.0
+
+
+def test_vocab_two_phase_matches_global_window(spark, sf_dir):
+    """q_text_vocab's bucketed two-phase rank/prefix-sum must equal the
+    naive single-global-window construction exactly (the oracle uses
+    the naive form; this pins the distributed trick's equivalence on
+    the Spark side too, independent of DuckDB)."""
+    from pyspark.sql import Window as W
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.text import (
+        _VOCAB_SIZE,
+        q_text_vocab,
+        tokenized,
+    )
+
+    res = q_text_vocab(spark, sf_dir)
+    counts = tokenized(spark, sf_dir).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.orderBy(F.col("cnt").desc(), "word")
+    tot = counts.agg(F.sum("cnt").alias("t"))
+    naive = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "word",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.sum("cnt")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                / F.col("t"),
+                6,
+            ).alias("coverage"),
+        )
+        .filter(F.col("rnk") <= _VOCAB_SIZE)
+    )
+    got = sorted(map(tuple, res.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+    # coverage is monotone in rank and hits 1.0 if the whole vocab fits
+    by_rank = sorted(got)
+    assert all(
+        a[3] <= b[3] for a, b in zip(by_rank, by_rank[1:])
+    )
+    if len(by_rank) < _VOCAB_SIZE:
+        assert by_rank[-1][3] == 1.0

@@ -112,6 +112,7 @@ _BNLJ_ALLOWED = {
     "q_sample_temperature",  # 1-row sqrt-mass + cap aggregate broadcasts
     "q_sim_ivf",  # corpus/probes × k-centroids routing cross (16-row build side)
     "q_dedup_semantic",  # same 16-row centroid-assignment cross as q_sim_ivf
+    "q_text_vocab",  # 1-row corpus-token-total aggregate broadcast
 }
 
 
