@@ -212,3 +212,80 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_bytes").alias("sampled_bytes"),
         F.max("frame_no").alias("last_frame_no"),
     )
+
+
+_FRAMEDUP_MIN = 2  # pairs must share at least this many sampled frames
+
+
+@query(
+    "q_multimodal_framedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len_b
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, k.k AS frame_no,
+             COALESCE(list_sum(list_transform(
+                 range(k.k * {_FRAME_BYTES} + 1,
+                       least(CAST(len_b AS BIGINT),
+                             (k.k + 1) * {_FRAME_BYTES}) + 1),
+                 i -> ascii(substr(text, CAST(i AS INT), 1)))), 0)
+               % 1000003 AS crc
+      FROM d, LATERAL (
+        SELECT unnest(range(0, greatest(1, len_b // {_FRAME_BYTES}),
+                            {_FRAME_STRIDE})) AS k
+      ) k
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(COUNT(*) AS BIGINT) AS n_frame_matches
+    FROM f a JOIN f b ON a.crc = b.crc AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_FRAMEDUP_MIN}
+    """,
+)
+def q_multimodal_framedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup via frame fingerprints — the video/image dedup a
+    multimodal training pipeline runs: decode → sample frames →
+    fingerprint each frame (production: a perceptual hash; here the
+    fake decoder's deterministic frame CRC, same plumbing) → find media
+    pairs sharing ≥ {_FRAMEDUP_MIN} sampled-frame fingerprints. Catches
+    re-encodes, trims and re-posts that byte-level (payload-hash) dedup
+    misses, because matching happens at frame granularity.
+
+    Plan shape: the pair search is a self equi-join on the FINGERPRINT
+    — a postings join exactly like q_dedup_substring's shingle join;
+    the corpus of media blobs is never cross-joined, and only (doc_id,
+    crc) rows (16 B) shuffle, never frames or payloads. At 100 TB the
+    degenerate hot key is the "common frame" (intros, black frames):
+    production drops fingerprints whose media-frequency exceeds a cap
+    before the join — a stoplist semi-join, same Zipf-head treatment as
+    the substring dedup's bloom step — and the candidate volume knob is
+    the sampling stride.
+
+    Oracle-able end-to-end because the fake frame fingerprint is pure
+    arithmetic over the utf-8 payload (per-{_FRAME_BYTES}-byte-slice
+    byte sums mod 1000003; ASCII fixture, see q_multimodal_features).
+    """
+    df = with_binary_payload(spark, sf_dir).select("doc_id", "payload")
+    frames = df.mapInPandas(sample_frames, schema=FRAME_SCHEMA).select(
+        "doc_id", "frame_crc"
+    )
+    a = frames.select(
+        F.col("doc_id").alias("media_a"), F.col("frame_crc").alias("crc")
+    )
+    b = frames.select(
+        F.col("doc_id").alias("media_b"), F.col("frame_crc").alias("crc")
+    )
+    return (
+        a.join(b, "crc")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= _FRAMEDUP_MIN)
+        .select(
+            "media_a",
+            "media_b",
+            F.col("n_frame_matches").cast("bigint").alias("n_frame_matches"),
+        )
+    )

@@ -131,7 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_temperature",
     "q_embed_pq",
     "q_text_vocab",
-    "q_multimodal_features",
+    "q_multimodal_framedup",
     "q_udaf_grouped",
     # Every key outside this window has a driver check from r03/r04
     # (<=3 rounds old after r05 runs — the feasible bound; the r3 keys

@@ -71,6 +71,13 @@ EXTENDED = [
     "q_text_decontaminate",
     "q_text_unigram_logprob",
     "q_pack_sequences",
+    # late-round-5 additions, tracked from their first round: span-level
+    # exact dedup (shingle postings — corpus-sized explode + two
+    # shuffles), SemDeDup (centroid assignment + within-cell pair
+    # scan), vocabulary induction (bucketed two-phase prefix sum).
+    "q_dedup_substring",
+    "q_dedup_semantic",
+    "q_text_vocab",
 ]
 
 

@@ -882,3 +882,36 @@ def test_vocab_two_phase_matches_global_window(spark, sf_dir):
     )
     if len(by_rank) < _VOCAB_SIZE:
         assert by_rank[-1][3] == 1.0
+
+
+def test_framedup_constructed_pairs():
+    """Frame-fingerprint dedup ground truth on a constructed corpus:
+    two payloads sharing their first 8 x 64-byte frames (sampled frames
+    0 and 4) match with n_frame_matches == 2; a payload with entirely
+    distinct bytes matches nothing."""
+    import pandas as pd
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    shared = bytes(range(200)) * 3  # 600 bytes -> frames 0..8 shared
+    a = shared + b"A" * 64
+    b_ = shared + b"B" * 64
+    c = bytes(255 - x for x in range(250))  # different content
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "payload": [a, b_, c]})
+    frames = list(sample_frames(iter([pdf])))[0]
+    # pair-match replay: count equal CRCs across docs
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for _, r in frames.iterrows():
+        by_doc[r["doc_id"]].append(r["frame_crc"])
+    m12 = sum(1 for x in by_doc[1] for y in by_doc[2] if x == y)
+    m13 = sum(1 for x in by_doc[1] for y in by_doc[3] if x == y)
+    # 664-byte payloads -> 10 frames, sampled 0, 4, 8; frame 8 spans
+    # bytes 512..575, inside the 600-byte shared prefix -> all 3 match
+    assert m12 == 3, (m12, by_doc)
+    assert m13 == 0
+    assert len(by_doc[1]) == 3
+    assert len(by_doc[3]) == 1  # 250 bytes -> 3 frames, only 0 sampled
