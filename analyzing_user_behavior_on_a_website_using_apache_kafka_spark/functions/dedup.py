@@ -1384,3 +1384,171 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").cast("bigint").alias("dup_of"),
         )
     )
+
+
+# --- character-level near-dup: bounded edit distance --------------------
+
+_ED_D = 10  # max edit distance (fixture margin: true band ends at 8,
+#             next-nearest pair sits at 38 — see q_dedup_editdist)
+_ED_Q = 8  # q-gram width for the lossless candidate filter
+
+
+@query(
+    "q_dedup_editdist",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= {_ED_D}
+    WHERE levenshtein(a.text, b.text) <= {_ED_D}
+    """,
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup join: every document pair within
+    Levenshtein edit distance ≤ _ED_D — the record-linkage complement of
+    the token-set family (q_dedup_ngram_jaccard sees word overlap;
+    this sees single-character typos, OCR noise and byte-level edits
+    that leave the token multiset almost intact).
+
+    Candidate generation is the classic lossless q-gram filter
+    (Gravano et al., VLDB'01 "Approximate String Joins in a Database
+    (Almost) for Free"), run as a prefix-filtered equi join: one edit
+    destroys at most q of a string's distinct q-grams, so ed(a,b) ≤ D
+    implies |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − D·q — and therefore the D·q+1
+    globally-rarest grams of each side must intersect (prefix-filter
+    theorem, same machinery as prefix_filtered_jaccard_join). The
+    guarantee needs max(|Ga|,|Gb|) > D·q, so pairs where BOTH docs have
+    ≤ D·q distinct grams fall back to a length-binned equi self-join of
+    that short-doc subset (adjacent-bin trick of q_join_range_binned —
+    no BNLJ). Survivors verify with the JVM banded
+    ``levenshtein(a, b, threshold)`` — O(len·D), not O(len²) per pair.
+
+    Fixture margin: at sf0.01 the corpus has 24 pairs at distance 4 and
+    1 at 8, then NOTHING until 38 — the threshold 10 sits mid-gap, so
+    no boundary pair can flip between engines. The oracle is the plain
+    all-pairs join (blocking is lossless, so DuckDB needs none).
+
+    100 TB notes: the gram-frequency dictionary scales with corpus
+    vocabulary → joined unhinted (AQE picks the strategy; do NOT
+    broadcast it blindly — char-gram vocabularies are far larger than
+    word vocabularies). Candidate volume concentrates on rare grams,
+    which is the point of the frequency ordering. The short-doc
+    fallback is quadratic ONLY within docs shorter than ~(D+1)·q chars
+    — a min-length corpus policy (every curation pipeline has one)
+    bounds it; for a genuinely short-text corpus, shrink q so the
+    guarantee covers the length floor.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return qgram_blocked_editdist_join(d)
+
+
+def qgram_blocked_editdist_join(
+    docs: DataFrame, max_dist: int = _ED_D, q: int = _ED_Q
+) -> DataFrame:
+    """Core q-gram-blocked edit-distance join over any (doc_id, text)
+    DataFrame — separated from the fixture loader so property tests can
+    drive it with adversarial corpora (see q_dedup_editdist for the
+    losslessness argument)."""
+    p = max_dist * q + 1  # prefix length: D·q + 1 rarest distinct grams
+    base = docs.select(
+        "doc_id", "text", F.length("text").alias("ln")
+    )
+    # positional q-grams → distinct gram set per doc. substring() takes
+    # only literal positions, so the gram array is built with a
+    # higher-order transform over sequence(1, ln−q+1).
+    dg = base.select(
+        "doc_id",
+        "ln",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(1, ln - {q} + 1)),"
+                    f" i -> substring(text, i, {q}))"
+                )
+            )
+        ).alias("g"),
+    )
+    # global document frequency per gram — the rarity order. NOT
+    # broadcast: char-gram vocabularies scale with the corpus.
+    freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        dg.join(freq, "g")
+        .groupBy("doc_id", "ln")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("gf")
+        )
+    )
+    prefixes = ordered.select(
+        "doc_id",
+        "ln",
+        F.explode(
+            F.slice(
+                F.transform("gf", lambda s: s["g"]), F.lit(1), F.lit(p)
+            )
+        ).alias("g"),
+    )
+    cand = (
+        prefixes.alias("pa")
+        .join(
+            prefixes.alias("pb"),
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                F.abs(F.col("pa.ln") - F.col("pb.ln"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+    )
+    # Short-doc fallback: the q-gram guarantee needs max(|Ga|,|Gb|) >
+    # D·q distinct grams; pairs where BOTH sides are below that line
+    # self-join via adjacent length bins (equi join on the bin, exact
+    # length re-check — never a BNLJ). Bin width = max_dist, so a
+    # qualifying pair is at most one bin apart.
+    short = ordered.filter(F.size("gf") <= F.lit(max_dist * q)).select(
+        "doc_id", "ln", F.floor(F.col("ln") / F.lit(max_dist)).alias("b")
+    )
+    s_l = short.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ln").alias("la"),
+        F.col("b").alias("bin"),
+    )
+    s_r = short.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ln").alias("lb"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("bin"),
+    )
+    fb = (
+        s_l.join(s_r, "bin")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(max_dist))
+        )
+        .select("doc_a", "doc_b")
+    )
+    pairs = cand.union(fb).dropDuplicates(["doc_a", "doc_b"])
+    # Verification: banded levenshtein with a threshold — O(len·D) per
+    # pair and early-exit, vs O(len²) unbounded; returns −1 past the
+    # band, so the filter is a null-free integer test.
+    ta = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    tb = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    ed = F.levenshtein("ta", "tb", threshold=max_dist)
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", ed.alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            "doc_a", "doc_b", F.col("edit_dist").cast("int").alias("edit_dist")
+        )
+    )

@@ -81,10 +81,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_pq_adc",
     # --- (c) changed in r5 (q_sim_ivf's r5 delta was docstring+test
     # only — its r4 row stays valid, so it yields its slot to the
-    # late-r5 q_text_vocab and rotates in r6) ---
-    "q_dedup_ngram_jaccard",
+    # late-r5 q_text_vocab and rotates in r6; q_dedup_ngram_jaccard
+    # (r3 row) and q_dedup_simhash (r4 row, oracle-alignment-only
+    # change) yield theirs to the two latest-r5 operators
+    # q_dedup_editdist / q_time_rollup and rotate in r6 —
+    # q_dedup_clusters stays because it drives the NEW shared
+    # verified-pairs memo end-to-end, covering jaccard's changed
+    # sub-plan too) ---
     "q_dedup_clusters",
-    "q_dedup_simhash",
+    "q_dedup_editdist",
+    "q_time_rollup",
     # --- (d) r1-stale, all 15 ---
     "q_filter_null",
     "q_union_distinct",
@@ -175,6 +181,7 @@ def _ensure_loaded() -> None:
         skew,
         sorts_setops,
         sql_surface,
+        timeseries,
         udfs,
         windows,
     )

@@ -78,6 +78,10 @@ EXTENDED = [
     "q_dedup_substring",
     "q_dedup_semantic",
     "q_text_vocab",
+    # latest-round-5 addition, tracked from its first round: the
+    # q-gram-blocked edit-distance join (prefix equi-join + banded
+    # levenshtein verify; ~10 s clean at sf0.1, rig-noise band to ~45 s)
+    "q_dedup_editdist",
 ]
 
 

@@ -174,3 +174,48 @@ def test_growth_accounting_identities(spark, sf_dir):
         .count()
     )
     assert run == total
+
+
+def test_time_rollup_gapfill_dense_and_consistent(spark, sf_dir):
+    """q_time_rollup invariants: (1) the grid is DENSE — every hour
+    between the corpus' first and last event appears exactly once per
+    event type; (2) nonzero cells equal a directly-computed
+    groupBy(hour, type) count; (3) gap rows are exactly (0, 0.0)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators import (
+        timeseries,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = timeseries.q_time_rollup(spark, sf_dir).collect()
+    got = {(r["hour_iso"], r["event_type"]): r for r in rows}
+    assert len(got) == len(rows), "duplicate (hour, type) cells"
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00"
+            ).alias("h"),
+            "event_type",
+        )
+        .groupBy("h", "event_type")
+        .count()
+        .collect()
+    )
+    direct = {(r["h"], r["event_type"]): r["count"] for r in ev}
+    hours = sorted({h for h, _ in got})
+    types = sorted({t for _, t in got})
+    # dense: |cells| = |hours| × |types|, spanning min..max contiguously
+    assert len(got) == len(hours) * len(types)
+    lo = dt.datetime.strptime(hours[0], "%Y-%m-%d %H:%M")
+    hi = dt.datetime.strptime(hours[-1], "%Y-%m-%d %H:%M")
+    assert len(hours) == int((hi - lo).total_seconds()) // 3600 + 1
+    for (h, t), r in got.items():
+        want = direct.get((h, t), 0)
+        assert r["n_events"] == want, (h, t)
+        if want == 0:
+            assert r["sum_value"] == 0.0

@@ -113,6 +113,7 @@ _BNLJ_ALLOWED = {
     "q_sim_ivf",  # corpus/probes × k-centroids routing cross (16-row build side)
     "q_dedup_semantic",  # same 16-row centroid-assignment cross as q_sim_ivf
     "q_text_vocab",  # 1-row corpus-token-total aggregate broadcast
+    "q_time_rollup",  # hour spine × enum-sized distinct-type broadcast
 }
 
 

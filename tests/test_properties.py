@@ -453,3 +453,65 @@ def test_containment_join_is_lossless(pb_spark, docs, threshold):
             if inter * t.denominator >= t.numerator * mn:
                 want.add((a, b))
     assert got == want, (sorted(want - got), sorted(got - want))
+
+
+# Edit-distance join: adversarial regime is SHORT strings over a tiny
+# alphabet — everything lands in the short-doc fallback AND the q-gram
+# guarantee is at its weakest (few distinct grams), so a losslessness
+# bug in either path surfaces here. Longer random strings exercise the
+# main prefix path (q=2, d=1 → guarantee needs >2 distinct 2-grams).
+_ed_docs_strategy = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_ed_docs_strategy, max_dist=st.sampled_from([1, 2, 3]))
+def test_editdist_join_is_lossless(pb_spark, docs, max_dist):
+    """Every pair within edit distance ≤ d must be found — the q-gram
+    prefix blocking plus short-doc fallback claims to be lossless, so
+    a single missed pair on ANY corpus falsifies it."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        qgram_blocked_editdist_join,
+    )
+
+    spark = pb_spark
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in qgram_blocked_editdist_join(
+            df, max_dist=max_dist, q=2
+        ).collect()
+    }
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            d = _py_levenshtein(docs[a], docs[b])
+            if d <= max_dist:
+                want[(a, b)] = d
+    assert got == want, (want, got)
