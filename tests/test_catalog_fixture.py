@@ -137,3 +137,27 @@ def test_stream_dir_isolates_same_basename_and_heals_dangling(tmp_path):
     da2 = _stream_dir(str(a), "events")
     assert da2 == da
     assert os.path.exists(os.path.join(da2, "events.parquet"))
+
+
+def test_documents_are_ascii_for_levenshtein_oracle(spark, sf_dir):
+    """Engine-parity tripwire for q_dedup_editdist: DuckDB's
+    ``levenshtein`` is BYTE-based (measured: levenshtein('é','e') = 2
+    while length('é') = 1) but Spark's is codepoint-based (= 1). The
+    two agree only on ASCII text, which the driver fixture currently
+    is. If this fails after a fixture regeneration, the oracle needs a
+    byte/codepoint reconciliation (e.g. compare on an explicit byte
+    projection on both engines) — do NOT silently widen the threshold."""
+    from pyspark.sql import functions as F
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    non_ascii = d.filter(
+        F.length("text") != F.octet_length("text")
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII documents — DuckDB byte-based vs Spark "
+        "codepoint-based levenshtein will diverge (see docstring)"
+    )

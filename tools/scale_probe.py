@@ -1,0 +1,123 @@
+"""Measured scaling probe: how do the plan-bound operators actually
+scale when the corpus grows 1× → 10×?
+
+SCALE.md's design notes argue each plan is linear (or output-bound);
+this tool MEASURES it, replacing argument with evidence ("measure,
+don't guess"). It replicates the sf0.1 `documents` / `embeddings` /
+`events` tables K× (id-offset copies, text/vectors unchanged) into
+/tmp, runs a fixed set of PLAN-BOUND queries at each K, and prints a
+markdown table of wall-times plus the fitted scaling exponent
+log(t_K / t_1) / log(K) for the largest K.
+
+Only plan-bound queries are probed: output-bound pair joins (jaccard,
+containment, near-dup, editdist) are excluded BY DESIGN — replicating
+the corpus K× turns every document into a K-way exact-duplicate group,
+so their true-pair OUTPUT grows ~K², and measuring them on a replica
+corpus would report the fixture's artifact, not the plan's shape.
+
+Usage: python tools/scale_probe.py [K ...]   (default: 1 2 5 10)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+    registry,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+    get_spark,
+)
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/aub_scale_probe"
+_OFF = 100_000_000  # id offset per replica — far above any fixture id
+
+# (table, id column(s) to offset). Text/vectors/timestamps unchanged:
+# the probe measures plan shape, not data variety.
+_TABLES = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+
+# Plan-bound probe set (query key -> why it should be linear):
+PROBES = {
+    "q_dedup_exact": "hash-groupBy on md5(text)",
+    "q_text_tokens": "map-only tokenize + agg",
+    "q_text_quality": "map-only quality scores",
+    "q_text_fingerprint": "map-only rolling hash",
+    "q_sim_ann": "16-table LSH bucket probe, fixed probe set",
+    "q_sim_ivf": "centroid routing + probed cells, fixed probe set",
+    "q_embed_pq": "map-only PQ encode",
+    "q_sample_hash": "hash-bucket filter",
+    "q_time_rollup": "partial agg to O(hours×types) + calendar grid",
+    "q_sessionize_batch": "per-user window, user-partitioned",
+}
+
+
+def build_replica(k: int) -> str:
+    out = os.path.join(WORK, f"x{k}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, id_cols in _TABLES.items():
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        proj = ", ".join(
+            f"{c} + i * {_OFF} AS {c}" if c in id_cols else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM '{src}', range({k}) t(i)) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    # small dims pass through untouched (some queries join them)
+    for table in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        if os.path.exists(src):
+            dst = os.path.join(out, f"{table}.parquet")
+            if not os.path.exists(dst):
+                shutil.copyfile(src, dst)
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    dirs = {k: build_replica(k) for k in ks}
+    spark = get_spark("scale_probe", cpus=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+    times: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        times[name] = {}
+        for k in ks:
+            t0 = time.time()
+            qs[name](spark, dirs[k]).count()
+            times[name][k] = round(time.time() - t0, 2)
+    kmax = max(ks)
+    print(f"\n| query | " + " | ".join(f"{k}× (s)" for k in ks)
+          + " | exponent | plan |")
+    print("|---|" + "---|" * (len(ks) + 2))
+    for name, ts in times.items():
+        t1, tk = ts[min(ks)], ts[kmax]
+        exp = (math.log(tk / t1) / math.log(kmax / min(ks))
+               if t1 > 0 and kmax > min(ks) else float("nan"))
+        row = " | ".join(f"{ts[k]:.2f}" for k in ks)
+        print(f"| {name} | {row} | {exp:.2f} | {PROBES[name]} |")
+
+
+if __name__ == "__main__":
+    main()
