@@ -219,3 +219,44 @@ def test_time_rollup_gapfill_dense_and_consistent(spark, sf_dir):
         assert r["n_events"] == want, (h, t)
         if want == 0:
             assert r["sum_value"] == 0.0
+
+
+def test_time_rollup_constructed_gaps_and_boundaries(spark):
+    """Constructed-corpus edges for q_time_rollup: a multi-hour gap is
+    zero-filled, events exactly ON an hour boundary bucket into that
+    hour, a single-event corpus yields a 1×1 grid, and value sums land
+    in the right bucket."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators import (
+        timeseries,
+    )
+
+    # two types, events at 12:00:00 exactly (boundary), 12:59:59,
+    # then a 3-hour gap to 15:30
+    d = _events_dir(
+        spark,
+        [
+            (_ts(hours=0), 1, "click"),        # 12:00:00 exact
+            (_ts(minutes=59, seconds=59), 1, "click"),
+            (_ts(hours=3, minutes=30), 2, "view"),
+        ],
+    )
+    rows = {
+        (r["hour_iso"], r["event_type"]): r
+        for r in timeseries.q_time_rollup(spark, d).collect()
+    }
+    # dense grid: 4 hours (12..15) × 2 types
+    assert len(rows) == 8
+    assert rows[("2024-03-01 12:00", "click")]["n_events"] == 2
+    assert rows[("2024-03-01 12:00", "click")]["sum_value"] == 2.0
+    assert rows[("2024-03-01 15:00", "view")]["n_events"] == 1
+    # the gap hours are zero-filled for BOTH types
+    for h in ("2024-03-01 13:00", "2024-03-01 14:00"):
+        for t in ("click", "view"):
+            assert rows[(h, t)]["n_events"] == 0
+            assert rows[(h, t)]["sum_value"] == 0.0
+    # single-event corpus → 1×1 grid
+    d1 = _events_dir(spark, [(_ts(hours=1), 1, "click")])
+    one = timeseries.q_time_rollup(spark, d1).collect()
+    assert len(one) == 1
+    assert one[0]["hour_iso"] == "2024-03-01 13:00"
+    assert one[0]["n_events"] == 1
