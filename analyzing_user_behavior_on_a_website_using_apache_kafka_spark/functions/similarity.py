@@ -293,6 +293,70 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _matmul_routing_enabled(spark: SparkSession) -> bool:
+    """Gate for the vectorized centroid-routing path (default OFF).
+
+    The scale probe (SCALE.md §Round-5 measured artifacts) found IVF's
+    per-(vector, centroid) 64-term fold is the similarity family's most
+    expensive linear pass — 5× the Arrow-matmul ANN path at 100×. The
+    matmul route below fixes that, is equality-tested against the fold
+    on the fixture (tests/test_northstar.py), and ships default-off so
+    the served q_sim_ivf plan stays byte-identical to its latest driver
+    CORRECTNESS row; the default flips when the key rotates back into
+    the checked window (r6). Opt in: spark.aub.vectorRouting=matmul."""
+    try:
+        return spark.conf.get("spark.aub.vectorRouting", "fold") == "matmul"
+    except Exception:
+        return False
+
+
+def _route_cells_matmul(
+    v: DataFrame,
+    centroids: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """(id, cell, crnk) — each vector's n_cells nearest centroids by
+    (dist², cell id), computed as ONE (batch × dim) @ (dim × k) numpy
+    pass per Arrow batch instead of k interpreted 64-term folds per row.
+
+    The k×dim centroid table is collect()ed into the UDF closure —
+    k-bounded (=_IVF_K rows) by construction, the same boundary class
+    as the report model. Ties: distances are float64 and the measured
+    assignment/routing margins dominate reordering error by ≥9 orders
+    (see q_sim_ivf), so (dist², cell) ordering matches the fold path
+    bit-for-bit on decisions; equality is test-pinned."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from ..serialization import pickle_module_by_value
+
+    pickle_module_by_value(__name__)
+    rows = sorted(
+        (r["cell"], r["centroid"]) for r in centroids.collect()
+    )
+    cells = np.array([c for c, _ in rows], dtype=np.int64)
+    cmat = np.array([e for _, e in rows], dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def nearest_cells(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
+        x = np.vstack(emb.to_numpy())  # (n, dim)
+        # (n, k) pairwise squared distances; explicit diff² sum keeps
+        # the arithmetic in the same well-margined regime as the fold
+        d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        # stable argsort on dist2; cells[] is ascending, so ties break
+        # to the LOWER cell id — the (dist2, cell) order both engines use
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_cells]
+        return pd.Series(list(cells[idx]))
+
+    return v.select(
+        id_col,
+        F.posexplode(nearest_cells(emb_col)).alias("_pos", "cell"),
+    ).select(id_col, "cell", (F.col("_pos") + 1).alias("crnk"))
+
+
 @query(
     "q_sim_ivf",
     oracle=f"""
@@ -404,32 +468,48 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_K)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
-    # nearest-centroid assignment: broadcast the k×dim table, argmin by
-    # (dist², cell) via map-side-combinable min_by — no corpus window
-    dist = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "cell",
-        _sq_dist(F.col("emb"), F.col("centroid")).alias("dist2"),
-    )
-    assigned = dist.groupBy("vec_id").agg(
-        F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
-    )
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
     )
-    # route each probe to its nprobe nearest cells (tiny cross: probes × k)
-    w_cell = W.partitionBy("probe_id").orderBy(
-        F.col("cdist").asc(), F.col("cell").asc()
-    )
-    probe_cells = (
-        probes.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "cdist", _sq_dist(F.col("probe_emb"), F.col("centroid"))
+    if _matmul_routing_enabled(spark):
+        # vectorized route: one Arrow matmul per batch for all k cells
+        assigned = _route_cells_matmul(v, centroids, 1).select(
+            "vec_id", "cell"
         )
-        .withColumn("crnk", F.row_number().over(w_cell))
-        .filter(F.col("crnk") <= _IVF_NPROBE)
-        .select("probe_id", "probe_emb", "cell")
-    )
+        probe_cells = (
+            _route_cells_matmul(
+                probes, centroids, _IVF_NPROBE, id_col="probe_id",
+                emb_col="probe_emb",
+            )
+            .join(probes, "probe_id")
+            .select("probe_id", "probe_emb", "cell")
+        )
+    else:
+        # nearest-centroid assignment: broadcast the k×dim table, argmin
+        # by (dist², cell) via map-side-combinable min_by — no corpus
+        # window
+        dist = v.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "cell",
+            _sq_dist(F.col("emb"), F.col("centroid")).alias("dist2"),
+        )
+        assigned = dist.groupBy("vec_id").agg(
+            F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
+        )
+        # route each probe to its nprobe nearest cells (tiny cross:
+        # probes × k)
+        w_cell = W.partitionBy("probe_id").orderBy(
+            F.col("cdist").asc(), F.col("cell").asc()
+        )
+        probe_cells = (
+            probes.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "cdist", _sq_dist(F.col("probe_emb"), F.col("centroid"))
+            )
+            .withColumn("crnk", F.row_number().over(w_cell))
+            .filter(F.col("crnk") <= _IVF_NPROBE)
+            .select("probe_id", "probe_emb", "cell")
+        )
     cands = (
         assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))

@@ -915,3 +915,32 @@ def test_framedup_constructed_pairs():
     assert m13 == 0
     assert len(by_doc[1]) == 3
     assert len(by_doc[3]) == 1  # 250 bytes -> 3 frames, only 0 sampled
+
+
+def test_ivf_matmul_routing_matches_fold_path(spark, sf_dir):
+    """The gated Arrow-matmul centroid routing (default OFF — flips in
+    r6 with the rotation window, see _matmul_routing_enabled) must
+    reproduce the fold path's q_sim_ivf output EXACTLY: same cells,
+    same probe routing, same final top-k. The measured assignment /
+    routing margins (test_ivf_tie_margins_dominate_float_error) are
+    what guarantees summation-order differences cannot flip a
+    decision; this test pins the end-to-end consequence."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
+        similarity,
+    )
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in similarity.q_sim_ivf(spark, sf_dir).collect()
+        )
+
+    assert not similarity._matmul_routing_enabled(spark)  # default OFF
+    fold = run()
+    spark.conf.set("spark.aub.vectorRouting", "matmul")
+    try:
+        assert similarity._matmul_routing_enabled(spark)
+        matmul = run()
+    finally:
+        spark.conf.set("spark.aub.vectorRouting", "fold")
+    assert fold == matmul

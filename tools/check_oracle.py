@@ -2,7 +2,13 @@
 DuckDB oracle, compare row count + sorted-column value multiset — a local
 replica of the driver's t2 gate so mismatches surface before commit.
 
-Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs on a BARE SparkSession (no package confs) — the
+driver's actual environment. Any query that only passes under the
+tuned `session.get_spark()` (a conf set at build time instead of by
+`catalog.ensure_reader_conf` at load time — the r3 NTZ break class)
+fails here before it fails at the driver.
 """
 
 from __future__ import annotations
@@ -43,9 +49,23 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle_check_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
