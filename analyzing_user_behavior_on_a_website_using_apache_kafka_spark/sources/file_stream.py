@@ -68,7 +68,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
     into an in-memory sink; return the sink contents as a batch DataFrame.
@@ -103,12 +103,23 @@ def run_to_memory(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
         finally:
             if q.isActive:
                 q.stop()
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # awaitTermination TIMED OUT: the query was stopped
+            # mid-processing and the memory sink holds PARTIAL results.
+            # Returning them would surface as a silent row-count/value
+            # mismatch in the oracle gate (observed once: a loaded-rig
+            # sweep failed q_stream_stream_left this way at the old
+            # 120 s budget) — refuse loudly instead.
+            raise TimeoutError(
+                f"streaming query still running after {timeout_sec}s — "
+                "refusing to return partial sink contents"
+            )
         return stream_df.sparkSession.table(name)
 
     # One retry with a fresh checkpoint, scoped to the KNOWN transient:
@@ -126,6 +137,9 @@ def run_to_memory(
             for marker in (
                 "RocksDB",  # snapshot/changelog upload abort
                 "CANNOT_LOAD_STATE_STORE",
+                # load-induced timeout (see one_run): a fresh attempt on
+                # a momentarily-quieter rig routinely completes
+                "refusing to return partial sink contents",
             )
         )
         if not transient:

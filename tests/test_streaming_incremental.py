@@ -292,3 +292,26 @@ def test_foreachbatch_upsert_accumulates_across_batches(
         .collect()
     }
     assert got == want
+
+
+def test_run_to_memory_refuses_partial_results(spark, sf_dir):
+    """awaitTermination timing out must RAISE, not hand back a
+    partially-filled memory sink (the silent-mismatch flake class: a
+    loaded rig once failed q_stream_stream_left's oracle row this way).
+    A 1-second budget is always exceeded by state-store startup, so the
+    run times out deterministically; both attempts (the timeout is
+    retried once as load-transient) must end in TimeoutError."""
+    import pytest
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
+        run_to_memory,
+        stream_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.withWatermark("ts", "1 hour").groupBy(
+        F.window("ts", "10 minutes"), "event_type"
+    ).count()
+    with pytest.raises(TimeoutError, match="partial sink contents"):
+        run_to_memory(agg, "append", timeout_sec=1)
