@@ -40,6 +40,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffle-width knob, measured BOTH ways at the replica scales
+        # (SCALE.md §Round-5 measured artifacts): at the 1000× replica
+        # (100 M events) the static 32-partition window sort spills and
+        # goes superlinear (75 s, exponent 1.77/decade) — 256 initial
+        # partitions restore ~22 s (3.3×); but on the KB–MB sf0.1
+        # fixtures the extra map outputs + AQE stage re-optimization
+        # cost a uniform ~1.4× on the 14-query headline. So the LOCAL
+        # default stays partitions=cores, and big-data contexts opt in
+        # via this env var (scale_probe sets it for its ≥100× runs). On
+        # a real cluster: always set high; AQE only coalesces DOWN.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

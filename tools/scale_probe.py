@@ -104,16 +104,24 @@ def build_replica(k: int) -> str:
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    probes = PROBES
+    subset = os.environ.get("SCALE_PROBE_QUERIES")
+    if subset:  # e.g. SCALE_PROBE_QUERIES=q_dedup_exact,q_text_tokens
+        probes = {n: PROBES[n] for n in subset.split(",")}
     dirs = {k: build_replica(k) for k in ks}
-    spark = get_spark("scale_probe", cpus=int(
-        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # wide shuffles for the big replicas — measured 3.3× on the 1000×
+    # window sort (see session.py initialPartitionNum note); AQE
+    # coalesces the small-K runs back down
+    os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTITIONS", str(cpus * 8))
+    spark = get_spark("scale_probe", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
     kmin = min(ks)
-    for name in PROBES:  # warmup: JIT + parquet footers, discarded
+    for name in probes:  # warmup: JIT + parquet footers, discarded
         qs[name](spark, dirs[kmin]).count()
     times: dict[str, dict[int, float]] = {}
-    for name in PROBES:
+    for name in probes:
         times[name] = {}
         for k in ks:
             reps = []
@@ -134,7 +142,7 @@ def main() -> None:
         exp = (math.log(tb / ta) / math.log(kmax / k2)
                if ta > 0 and kmax > k2 else float("nan"))
         row = " | ".join(f"{ts[k]:.2f}" for k in ks)
-        print(f"| {name} | {row} | {exp:.2f} | {PROBES[name]} |")
+        print(f"| {name} | {row} | {exp:.2f} | {probes[name]} |")
 
 
 if __name__ == "__main__":
