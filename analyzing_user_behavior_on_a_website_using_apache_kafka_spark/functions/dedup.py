@@ -1338,7 +1338,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥8 orders above the ~2e-14 reordering error of a 64-term double
     sum (tests/test_northstar.py re-checks on the current fixture).
     """
-    from .similarity import _sq_dist, cosine
+    from .similarity import (
+        _matmul_routing_enabled,
+        _route_cells_matmul,
+        _sq_dist,
+        cosine,
+    )
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -1349,14 +1354,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SEM_K)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
-    dist = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "cell",
-        _sq_dist(F.col("emb"), F.col("centroid")).alias("dist2"),
-    )
-    assigned = dist.groupBy("vec_id").agg(
-        F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
-    )
+    if _matmul_routing_enabled(spark):
+        # same gated Arrow-matmul route as q_sim_ivf (default OFF —
+        # flips in r6; equality test-pinned in test_northstar.py)
+        assigned = _route_cells_matmul(v, centroids, 1).select(
+            "vec_id", "cell"
+        )
+    else:
+        dist = v.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "cell",
+            _sq_dist(F.col("emb"), F.col("centroid")).alias("dist2"),
+        )
+        assigned = dist.groupBy("vec_id").agg(
+            F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
+        )
     member = assigned.join(v, "vec_id")
     a = member.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea")

@@ -944,3 +944,28 @@ def test_ivf_matmul_routing_matches_fold_path(spark, sf_dir):
     finally:
         spark.conf.set("spark.aub.vectorRouting", "fold")
     assert fold == matmul
+
+
+def test_semantic_matmul_routing_matches_fold_path(spark, sf_dir):
+    """q_dedup_semantic shares q_sim_ivf's gated matmul centroid
+    routing — same end-to-end output-identity requirement (see
+    test_ivf_matmul_routing_matches_fold_path)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
+        dedup,
+        similarity,
+    )
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in dedup.q_dedup_semantic(spark, sf_dir).collect()
+        )
+
+    assert not similarity._matmul_routing_enabled(spark)
+    fold = run()
+    spark.conf.set("spark.aub.vectorRouting", "matmul")
+    try:
+        matmul = run()
+    finally:
+        spark.conf.set("spark.aub.vectorRouting", "fold")
+    assert fold == matmul
