@@ -143,6 +143,13 @@ def main() -> None:
                if ta > 0 and kmax > k2 else float("nan"))
         row = " | ".join(f"{ts[k]:.2f}" for k in ks)
         print(f"| {name} | {row} | {exp:.2f} | {probes[name]} |")
+    # GB-scale replicas evict the fixture page cache and leave the rig
+    # under memory-compaction load for minutes — measured to inflate a
+    # subsequent bench ~1.5×. Drop them unless explicitly kept.
+    if os.environ.get("SCALE_PROBE_KEEP") != "1":
+        for k in ks:
+            if k >= 100:
+                shutil.rmtree(dirs[k], ignore_errors=True)
 
 
 if __name__ == "__main__":
