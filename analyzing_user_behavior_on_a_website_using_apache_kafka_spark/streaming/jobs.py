@@ -467,12 +467,19 @@ def q_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(300)
     finally:
         if q.isActive:
             q.stop()
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # same contract as run_to_memory: a timed-out run means the
+        # sink table holds PARTIAL totals — refuse, never return them
+        raise TimeoutError(
+            "foreachBatch sink still running after 300s — refusing to "
+            "read back partial totals"
+        )
     return spark.read.parquet(final).select(
         "event_type", F.col("n_events").cast("bigint").alias("n_events")
     )
