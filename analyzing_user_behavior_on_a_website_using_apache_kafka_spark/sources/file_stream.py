@@ -68,7 +68,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
-    timeout_sec: int = 300,
+    timeout_sec: float = 300,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
     into an in-memory sink; return the sink contents as a batch DataFrame.

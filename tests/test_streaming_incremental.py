@@ -51,7 +51,7 @@ def _run_incremental(spark, split_log, agg_builder, output_mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "incremental run did not finish"
     assert len(q.recentProgress) >= 4, "expected one micro-batch per file"
     return spark.table(name)
 
@@ -298,9 +298,11 @@ def test_run_to_memory_refuses_partial_results(spark, sf_dir):
     """awaitTermination timing out must RAISE, not hand back a
     partially-filled memory sink (the silent-mismatch flake class: a
     loaded rig once failed q_stream_stream_left's oracle row this way).
-    A 1-second budget is always exceeded by state-store startup, so the
-    run times out deterministically; both attempts (the timeout is
-    retried once as load-transient) must end in TimeoutError."""
+    A 1 ms budget expires before the first micro-batch can possibly
+    commit (state-store startup alone is seconds), so the run times out
+    deterministically — a 1 s budget raced a warm session once; both
+    attempts (the timeout is retried once as load-transient) must end
+    in TimeoutError."""
     import pytest
 
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
@@ -314,4 +316,88 @@ def test_run_to_memory_refuses_partial_results(spark, sf_dir):
         F.window("ts", "10 minutes"), "event_type"
     ).count()
     with pytest.raises(TimeoutError, match="partial sink contents"):
-        run_to_memory(agg, "append", timeout_sec=1)
+        run_to_memory(agg, "append", timeout_sec=0.001)
+
+
+def test_stream_stream_left_multibatch_matches_oneshot(
+    spark, sf_dir, tmp_path_factory
+):
+    """The left-outer stream-stream join must produce the SAME result
+    whether the log arrives all at once or as time-ordered micro-
+    batches: with a ts-ordered split no event is late, so incremental
+    watermark advancement may only change WHEN outer rows emit, never
+    WHICH rows exist at the end. (A user-id split would be wrong here —
+    it creates massive artificial late data.)"""
+    import datetime as _dt
+
+    from pyspark.sql import Window as W
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming import (
+        jobs,
+    )
+
+    d = str(tmp_path_factory.mktemp("ts_split"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    part = ev.withColumn(
+        "slice",
+        F.ntile(3).over(W.orderBy("ts", "event_id")),
+    )
+    for i in (1, 2, 3):
+        part.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    name = f"ssl_{uuid.uuid4().hex[:10]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join("/tmp/aub_ckpt", name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "incremental join did not finish"
+    got = sorted(
+        (r.click_id, r.purchase_id) for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (r.click_id, r.purchase_id)
+        for r in jobs.q_stream_stream_left(spark, sf_dir).collect()
+    )
+    assert got == want
