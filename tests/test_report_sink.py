@@ -77,7 +77,7 @@ def test_report_stream_incremental(spark, histograms, sf_dir, tmp_path):
         svg_write(model, epoch)
 
     q = report.run_report_stream(stream, sink, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "report run did not finish"
     assert captured, "sink never invoked"
     batch_model = report.report_model(histograms)
     assert captured[-1] == batch_model

@@ -107,7 +107,7 @@ def test_restart_from_checkpoint_resumes_not_rescans(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "checkpoint run did not finish"
         return {
             (r.event_type, r.cnt) for r in spark.table(name).collect()
         }, q.recentProgress
@@ -185,7 +185,7 @@ def test_stream_stream_join_state_spans_batches(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "join run did not finish"
     got = {(r.c_id, r.p_id) for r in spark.table(name).collect()}
     a, b = ev.alias("a"), ev.alias("b")
     want = {
@@ -277,7 +277,7 @@ def test_foreachbatch_upsert_accumulates_across_batches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "upsert run did not finish"
     assert q.exception() is None
     assert len(q.recentProgress) >= 4, "expected one micro-batch per file"
     got = {
