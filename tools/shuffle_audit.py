@@ -69,8 +69,11 @@ def main() -> None:
             "session pre-existed with UI disabled — run in a fresh process"
         )
     qs = registry.all_queries()
-    print("| query | shuffle write | shuffle read | input | rows |")
-    print("|---|---|---|---|---|")
+    print(
+        "| query | shuffle write | shuffle read | input "
+        "| mem spill | disk spill | rows |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for name in names:
         if name.startswith("q_stream_"):
             continue  # streaming: state-store traffic, not exchanges
@@ -80,8 +83,14 @@ def main() -> None:
         w = sum(s.get("shuffleWriteBytes", 0) for s in new)
         r = sum(s.get("shuffleReadBytes", 0) for s in new)
         inp = sum(s.get("inputBytes", 0) for s in new)
+        # spills: non-zero here means a partition outgrew its memory
+        # budget — the exact signal that caught the 1000×-replica
+        # window sort before raising initialPartitionNum
+        ms = sum(s.get("memoryBytesSpilled", 0) for s in new)
+        ds = sum(s.get("diskBytesSpilled", 0) for s in new)
         print(
-            f"| {name} | {_fmt(w)} | {_fmt(r)} | {_fmt(inp)} | {n} |"
+            f"| {name} | {_fmt(w)} | {_fmt(r)} | {_fmt(inp)} "
+            f"| {_fmt(ms)} | {_fmt(ds)} | {n} |"
         )
 
 
