@@ -1408,9 +1408,13 @@ _ED_Q = 8  # q-gram width for the lossless candidate filter
 @query(
     "q_dedup_editdist",
     oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) = strlen(text)
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
-    FROM documents a JOIN documents b
+    FROM d a JOIN d b
       ON a.doc_id < b.doc_id
      AND abs(length(a.text) - length(b.text)) <= {_ED_D}
     WHERE levenshtein(a.text, b.text) <= {_ED_D}
@@ -1441,6 +1445,16 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     no boundary pair can flip between engines. The oracle is the plain
     all-pairs join (blocking is lossless, so DuckDB needs none).
 
+    Engine-parity guard: BOTH sides restrict to byte-clean documents
+    (char length == byte length, i.e. ASCII) before joining — a no-op
+    on every fixture to date (tripwired in tests/test_catalog_fixture)
+    but load-bearing if a regenerated fixture ever carries non-ASCII:
+    DuckDB's ``levenshtein`` is BYTE-based while Spark's is
+    codepoint-based, so the two agree only on this subset. For a real
+    multilingual corpus, run the Spark side unfiltered (codepoint
+    distance is the semantically right one) and drop the DuckDB
+    cross-check or byte-project both engines.
+
     100 TB notes: the gram-frequency dictionary scales with corpus
     vocabulary → joined unhinted (AQE picks the strategy; do NOT
     broadcast it blindly — char-gram vocabularies are far larger than
@@ -1451,7 +1465,9 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds it; for a genuinely short-text corpus, shrink q so the
     guarantee covers the length floor.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     return qgram_blocked_editdist_join(d)
 
 

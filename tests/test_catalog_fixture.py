@@ -143,10 +143,13 @@ def test_documents_are_ascii_for_levenshtein_oracle(spark, sf_dir):
     """Engine-parity tripwire for q_dedup_editdist: DuckDB's
     ``levenshtein`` is BYTE-based (measured: levenshtein('é','e') = 2
     while length('é') = 1) but Spark's is codepoint-based (= 1). The
-    two agree only on ASCII text, which the driver fixture currently
-    is. If this fails after a fixture regeneration, the oracle needs a
-    byte/codepoint reconciliation (e.g. compare on an explicit byte
-    projection on both engines) — do NOT silently widen the threshold."""
+    two agree only on ASCII text. The query now SELF-GUARDS (both
+    engines restrict to byte-clean docs, parity-tested on a
+    constructed non-ASCII corpus in test_properties), so a fixture
+    regeneration with non-ASCII stays green — but this tripwire still
+    reports the moment the corpus stops being fully covered by the
+    edit-distance join, so the coverage loss is a visible decision,
+    not a silent one."""
     from pyspark.sql import functions as F
 
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (

@@ -515,3 +515,48 @@ def test_editdist_join_is_lossless(pb_spark, docs, max_dist):
             if d <= max_dist:
                 want[(a, b)] = d
     assert got == want, (want, got)
+
+
+def test_editdist_nonascii_parity_guard(pb_spark, tmp_path):
+    """q_dedup_editdist and its DuckDB oracle must agree on a corpus
+    CONTAINING non-ASCII docs: both sides restrict to byte-clean text
+    (DuckDB levenshtein is byte-based, Spark's codepoint-based — they
+    diverge off ASCII), so the non-ASCII doc pair must vanish from
+    BOTH engines while the ASCII near-pair survives."""
+    import os
+
+    import duckdb
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        q_dedup_editdist,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.registry import (
+        all_oracles,
+    )
+
+    spark = pb_spark
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cog"),  # ed 1
+        (3, "thé quick brown fox jumps over the lazy dog"),  # non-ASCII
+        (4, "thé quick brown fox jumps over the lazy cog"),  # non-ASCII
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in q_dedup_editdist(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(all_oracles()["q_dedup_editdist"]).fetchall()
+    )
+    assert got == want == [(1, 2, 1)], (got, want)
