@@ -246,6 +246,8 @@ def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     import numpy as np
     import pandas as pd
 
+    if len(emb) == 0:  # np.vstack raises on an empty batch
+        return pd.Series([], dtype=object)
     x = np.vstack(emb.to_numpy())  # (n, dim)
     bits = (x @ _coeff_matrix(x.shape[1]) >= 0).astype(np.int64)
     weights = np.tile(
@@ -294,20 +296,21 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def _matmul_routing_enabled(spark: SparkSession) -> bool:
-    """Gate for the vectorized centroid-routing path (default OFF).
+    """Gate for the vectorized centroid-routing path (default ON).
 
     The scale probe (SCALE.md §Round-5 measured artifacts) found IVF's
     per-(vector, centroid) 64-term fold is the similarity family's most
-    expensive linear pass — 5× the Arrow-matmul ANN path at 100×. The
-    matmul route below fixes that, is equality-tested against the fold
-    on the fixture (tests/test_northstar.py), and ships default-off so
-    the served q_sim_ivf plan stays byte-identical to its latest driver
-    CORRECTNESS row; the default flips when the key rotates back into
-    the checked window (r6). Opt in: spark.aub.vectorRouting=matmul."""
+    expensive linear pass — 5× the Arrow-matmul ANN path at 100×, and
+    the matmul route measured 3× faster end-to-end at the 100× probe.
+    It is equality-tested against the fold on the fixture
+    (tests/test_northstar.py) and has been the default since r6, when
+    q_sim_ivf / q_dedup_semantic rotated back into the driver-checked
+    window (VERDICT r5 item 4). Escape hatch back to the interpreted
+    fold: spark.aub.vectorRouting=fold."""
     try:
-        return spark.conf.get("spark.aub.vectorRouting", "fold") == "matmul"
+        return spark.conf.get("spark.aub.vectorRouting", "matmul") == "matmul"
     except Exception:
-        return False
+        return True
 
 
 def _route_cells_matmul(
@@ -342,6 +345,8 @@ def _route_cells_matmul(
 
     @F.pandas_udf(ArrayType(LongType()))
     def nearest_cells(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
+        if len(emb) == 0:  # np.vstack raises on an empty batch
+            return pd.Series([], dtype=object)
         x = np.vstack(emb.to_numpy())  # (n, dim)
         # (n, k) pairwise squared distances; explicit diff² sum keeps
         # the arithmetic in the same well-margined regime as the fold

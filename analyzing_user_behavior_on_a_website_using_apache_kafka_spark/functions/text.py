@@ -290,11 +290,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF as pure DataFrame math (exact, oracle-checkable — unlike
     HashingTF whose bucketed terms are engine-specific).
 
-    Plan shape: one shuffle for tf (doc_id, word), one dictionary-sized
-    aggregate for df broadcast back onto tf, and N as a ONE-ROW
-    aggregate cross-joined broadcast (mirroring the oracle's `n` CTE) —
-    fully lazy, no driver-side job during plan construction. At 100 TB
-    the df side is O(vocabulary) — always the broadcast side.
+    Plan shape: one shuffle for tf (doc_id, word), a df aggregate joined
+    back onto tf on word, and N as a ONE-ROW aggregate cross-joined
+    broadcast (mirroring the oracle's `n` CTE) — fully lazy, no
+    driver-side job during plan construction. The df side is UNHINTED:
+    O(vocabulary) is NOT broadcastable at web scale — Heaps' law puts a
+    100 TB corpus's distinct-word table in the billions of rows — so the
+    join stays a plain equi-join on word that AQE promotes to broadcast
+    only when df genuinely fits (the same de-hinting as the dedup
+    prefix-filter joins, VERDICT r5 item 2). tf and df share the
+    tokenize→explode lineage, so the shuffle on word co-partitions both
+    sides.
     """
     tok = tokenized(spark, sf_dir)
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -304,7 +310,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     )
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

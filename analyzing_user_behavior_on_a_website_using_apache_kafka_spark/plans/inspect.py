@@ -121,23 +121,104 @@ _FACT_SIGNATURE_COLS = (
     "vec_id#",  # embeddings
 )
 
-# Logical nodes that reduce a fact-scaled input to a bounded (O(groups),
-# O(limit), O(distinct keys)) build side, making a broadcast hint safe.
-_REDUCING_NODES = ("Aggregate ", "GlobalLimit ", "Deduplicate ")
+# Logical nodes that reduce a fact-scaled input to a bounded (O(limit),
+# O(distinct keys)) build side, making a broadcast hint safe.
+# Aggregate is deliberately NOT here: it reduces to O(groups), which is
+# bounded only if its GROUPING KEYS are — see _aggregate_is_bounded.
+_REDUCING_NODES = ("GlobalLimit ", "Deduplicate ")
+
+# Grouping-key column names with a BOUNDED domain: enum-like fixture
+# columns (a handful of distinct values at ANY corpus size) and derived
+# keys whose cardinality is a code constant (hash-mod bucket ids, PQ
+# subspace/codeword ids, LSH table ids, range-join bands). An Aggregate
+# grouped only on these yields an O(domain)-row build side — hintable.
+# A DATA-DERIVED key (token, word, gram, doc_id, …) is absent on
+# purpose: its cardinality grows with the corpus (Heaps' law for
+# vocabulary keys), so an Aggregate over it does NOT legalize a
+# broadcast hint (VERDICT r5 item 3 — the loophole the vocabulary-sized
+# freq broadcast slipped through in the dedup prefix-filter joins).
+_BOUNDED_GROUP_KEYS = frozenset(
+    {
+        # fixture enum columns
+        "event_type",
+        "page_url",
+        "device",
+        "country",
+        "lang",
+        "source",
+        "o_orderpriority",
+        "o_orderstatus",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipmode",
+        "gender",
+        "city",
+        "service",
+        # constant-cardinality derived keys
+        "bkt",  # hash-mod bucket id, modulus is a code constant
+        "cell",  # IVF cell id, |cells| = _IVF_K
+        "m",  # PQ subspace id, |m| = code constant
+        "k",  # PQ codeword id, |k| = code constant
+        "tbl",  # LSH table id
+        "band",  # range-join band / LSH band id
+        "salt",  # skew salt, modulus is a code constant
+    }
+)
+
+_AGG_RE = re.compile(r"^Aggregate \[")
+_COL_RE = re.compile(r"(\w+)#\d+")
+
+
+def _aggregate_is_bounded(node: str) -> bool:
+    """True if an ``Aggregate`` node's grouping keys are all
+    bounded-domain. A GROUPED aggregate renders as
+    ``Aggregate [keys], [exprs]``; a GLOBAL one (1 output row, always
+    bounded) renders with a single list — ``Aggregate [exprs]``. Keys
+    must all be names from _BOUNDED_GROUP_KEYS; any unrecognized column
+    name in the grouping list (token#…, word#…, doc_id#…) counts as
+    unbounded."""
+    if not _AGG_RE.match(node):
+        return False
+    # bracket-match the FIRST [...] group
+    start = node.index("[")
+    depth, end = 0, start
+    for j in range(start, len(node)):
+        if node[j] == "[":
+            depth += 1
+        elif node[j] == "]":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    if not node[end + 1 :].lstrip().startswith(", ["):
+        return True  # single list — global aggregate, one row
+    keys = node[start + 1 : end]
+    if not keys.strip():
+        return True
+    names = _COL_RE.findall(keys)
+    # no column refs at all (grouping on literals) is bounded; any
+    # non-allowlisted name is not
+    return all(n in _BOUNDED_GROUP_KEYS for n in names)
 
 
 def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
     """Broadcast-hint subtrees that scan a fact-SCALED table with no
-    cardinality-reducing node (Aggregate/Limit/Deduplicate) in between.
+    cardinality-BOUNDING node in between.
 
     A forced ``F.broadcast`` over a table that grows with the data
     (customer is ~150 M rows at sf1000) OOMs every executor at scale no
     matter what the optimizer thinks — only hints over constant-size
-    dims (nation, region, literal tables) or reduced derivations
-    (aggregates, limits) are scale-safe. Returns the offending hint
-    subtree headers; empty list = clean. Inspects the ANALYZED logical
-    plan, where ``ResolvedHint`` is still an explicit node (the
-    optimizer folds it into join-node hints later).
+    dims (nation, region, literal tables) or BOUNDED derivations are
+    scale-safe. Bounding nodes: GlobalLimit, Deduplicate, and Aggregate
+    whose grouping keys all have bounded domains (global aggregates,
+    enum columns, constant-modulus bucket ids — see
+    _BOUNDED_GROUP_KEYS). An Aggregate grouped on a data-derived key
+    (token, word, doc_id …) does NOT legalize the hint: its O(groups)
+    output is vocabulary/corpus-sized and still OOMs at 100 TB.
+    Returns the offending hint subtree headers; empty list = clean.
+    Inspects the ANALYZED logical plan, where ``ResolvedHint`` is still
+    an explicit node (the optimizer folds it into join-node hints
+    later).
     """
     plan = df._jdf.queryExecution().analyzed().toString()
     lines = plan.splitlines()
@@ -160,8 +241,10 @@ def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
             sig in node for node in subtree for sig in _FACT_SIGNATURE_COLS
         )
         has_reducer = any(
-            node.startswith(red) for node in subtree for red in _REDUCING_NODES
-        )
+            node.startswith(red)
+            for node in subtree
+            for red in _REDUCING_NODES
+        ) or any(_aggregate_is_bounded(node) for node in subtree)
         if has_fact and not has_reducer:
             offending.append(s)
     return offending

@@ -54,94 +54,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-5 window (VERDICT r4 items 1 & 8).  Composition, in order:
-    #   (a) the 3 r4-new keys that have never had a driver CORRECTNESS row;
-    #   (b) the six NEW r5 operators (never driver-checked —
-    #       rotation_check forces them in-window; the planned
-    #       transformWithState key is environment-blocked, see the
-    #       note in _ensure_loaded);
-    #   (c) every key whose implementation or oracle CHANGED in r5 and so
-    #       needs a fresh row (edge-set memoization: jaccard+clusters;
-    #       simhash oracle tokenization alignment; IVF margin work);
-    #   (d) ALL 15 keys last driver-checked in r1 (3 rounds stale);
-    #   (e) 18 of the 20 keys last driver-checked in r2
-    #       (q_text_langstats / q_text_normalize were displaced for the
-    #       two late-r5 dedup operators — at exactly the 3-round bound
-    #       after r5, they rotate FIRST in r6);
-    #   (f) 7 oldest/heaviest r3 keys with the remaining slots.
-    # After this window runs, no key's latest check is >2 rounds old.
-    # (Steady state: 130 keys / 50-key windows makes a strict <=2-round
-    # cycle infeasible — 65/round would be needed; tools/rotation_check.py
-    # enforces the feasible <=3-round bound plus never-stale-new-keys.)
-    # --- (a) never driver-checked (r4-new) ---
-    "q_source_binaryfile",
-    "q_source_xml",
-    "q_event_anomaly",
-    # --- (b) new in r5: PQ search path ---
-    "q_sim_pq_adc",
-    # --- (c) changed in r5 (q_sim_ivf's r5 delta was docstring+test
-    # only — its r4 row stays valid, so it yields its slot to the
-    # late-r5 q_text_vocab and rotates in r6; q_dedup_ngram_jaccard
-    # (r3 row) and q_dedup_simhash (r4 row, oracle-alignment-only
-    # change) yield theirs to the two latest-r5 operators
-    # q_dedup_editdist / q_time_rollup and rotate in r6 —
-    # q_dedup_clusters stays because it drives the NEW shared
-    # verified-pairs memo end-to-end, covering jaccard's changed
-    # sub-plan too) ---
-    "q_dedup_clusters",
-    "q_dedup_editdist",
-    "q_time_rollup",
-    # --- (d) r1-stale, all 15 ---
-    "q_filter_null",
-    "q_union_distinct",
-    "q_agg_cube",
-    "q_agg_filtered",
-    "q_agg_distinct",
-    "q_join_semi",
-    "q_sort_multikey",
-    "q_union_all",
-    "q_agg_percentile",
-    "q_join_cross",
-    "q_map_funcs",
-    "q_profile_columns",
-    "q_unpivot",
-    "q_agg_share",
-    "q_win_distribution",
-    # --- (e) r2-stale, all 20 ---
-    "q_agg_approx_distinct",
-    "q_agg_collect",
-    "q_dedup_exact",
-    "q_except",
-    "q_source_orc",
-    "q_split_train_test",
-    "q_sql_join_having",
-    "q_stream_kafka_source",
-    "q_stream_sliding",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_topk_per_group",
-    "q_udf_scalar",
-    "q_udtf_python",
-    "q_win_range_frame",
-    "q_win_rank",
-    "q_win_running",
-    # --- (f) NEW r5 operators (never driver-checked — rotation_check
-    # forces them in-window) + family representatives the keys above
-    # don't cover (test_registry pins every family in-window) ---
+    # Round-6 window (VERDICT r5 items 1, 2, 4, 6).  Composition:
+    #   (a) the 2 keys last driver-checked in r2 — at the 3-round
+    #       staleness bound, they rotate FIRST (the one red test in r5
+    #       was tools/rotation_check.py flagging exactly these);
+    #   (b) every key whose implementation CHANGED in r6 and so needs a
+    #       fresh CORRECTNESS row: the de-hinted vocabulary-sized
+    #       broadcast(freq) joins (jaccard / containment — VERDICT r5
+    #       item 2 — plus q_text_tfidf, same Heaps'-law pattern in its
+    #       df join), the Arrow-matmul centroid-routing default flip
+    #       (q_sim_ivf / q_dedup_semantic — item 4), and q_sim_ann
+    #       (empty-Arrow-batch guard added to its shared
+    #       _lsh_bucket_ids UDF — ADVICE r5; q_dedup_embed_cosine
+    #       shares that UDF but stays r7: the guard is unreachable on
+    #       non-empty batches and ann's fresh row exercises the path);
+    #   (c) ALL 41 remaining keys last driver-checked in r3 (the full
+    #       staleness backlog — item 6: after this window runs, no key
+    #       outside it is older than r4, so rotation_check projects
+    #       zero violations for r7);
+    #   (d) q_udaf_grouped — sole member of the q_uda* family, pinned
+    #       in-window by test_registry's family-coverage invariant.
+    # (Steady state: 142 keys / 50-key windows makes a strict
+    # <=2-round cycle infeasible — tools/rotation_check.py enforces the
+    # feasible <=3-round bound plus never-stale-new-keys.)
+    # --- (a) r2-stale, rotate first ---
+    "q_text_langstats",
+    "q_text_normalize",
+    # --- (b) changed in r6 ---
+    "q_dedup_ngram_jaccard",
     "q_dedup_containment",
-    "q_dedup_substring",
+    "q_text_tfidf",
+    "q_sim_ivf",
     "q_dedup_semantic",
-    "q_sink_foreachbatch",
-    "q_event_rfm",
-    "q_sample_temperature",
-    "q_embed_pq",
-    "q_text_vocab",
-    "q_multimodal_framedup",
+    "q_sim_ann",
+    # --- (c) r3-stale backlog, all 41 remaining ---
+    "q_agg_approx_quantile",
+    "q_agg_sketch_merge",
+    "q_agg_stats",
+    "q_cohort_retention",
+    "q_dedup_incremental",
+    "q_dedup_near",
+    "q_embed_normquant",
+    "q_event_transitions",
+    "q_funnel_conversion",
+    "q_growth_accounting",
+    "q_join_range_binned",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_pack_sequences",
+    "q_path_topk",
+    "q_pipeline_curate",
+    "q_sample_mixture",
+    "q_sample_stratified",
+    "q_sim_topk_bruteforce",
+    "q_sink_bucketed",
+    "q_sink_upsert",
+    "q_source_evolving_schema",
+    "q_sql_window",
+    "q_stream_complete_agg",
+    "q_stream_custom_state",
+    "q_stream_session",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_ngram_counts",
+    "q_text_pii_scrub",
+    "q_text_repetition",
+    "q_text_rollhash",
+    "q_text_token_bpe",
+    "q_text_unigram_logprob",
+    "q_udf_cogroup",
+    "q_udtf_explode",
+    "q_win_first_last",
+    # --- (d) family pin ---
     "q_udaf_grouped",
-    # Every key outside this window has a driver check from r03/r04
-    # (<=3 rounds old after r05 runs — the feasible bound; the r3 keys
-    # displaced by the three new operators rotate first in r6).
+    # Every key outside this window has a driver check from r04/r05
+    # (<=3 rounds old after r06 runs). r7 plan: the 47 r4-checked keys
+    # (48 minus tfidf/ivf/ann, re-checked here) lead the next window —
+    # q_dedup_embed_cosine first.
 )
 
 
@@ -199,8 +192,11 @@ def _ensure_loaded() -> None:
     # and is environment-blocked: pyspark 4.1.2's TwS state-server
     # protocol imports google.protobuf, absent from this container
     # (verified: the driver-side schema worker crashes on the import;
-    # installs are off-limits). Revisit if the environment gains
-    # protobuf — the applyInPandasWithState operator above covers the
+    # installs are off-limits). Re-probed r6 (2026-08-14):
+    #   python -c "import google.protobuf"
+    #     -> ModuleNotFoundError: No module named 'google'
+    #   (grpc likewise absent) — still blocked. Revisit each round;
+    # the applyInPandasWithState operator above covers the
     # arbitrary-state semantics meanwhile.
 
     _LOADED = True

@@ -918,13 +918,14 @@ def test_framedup_constructed_pairs():
 
 
 def test_ivf_matmul_routing_matches_fold_path(spark, sf_dir):
-    """The gated Arrow-matmul centroid routing (default OFF — flips in
-    r6 with the rotation window, see _matmul_routing_enabled) must
-    reproduce the fold path's q_sim_ivf output EXACTLY: same cells,
-    same probe routing, same final top-k. The measured assignment /
-    routing margins (test_ivf_tie_margins_dominate_float_error) are
-    what guarantees summation-order differences cannot flip a
-    decision; this test pins the end-to-end consequence."""
+    """The Arrow-matmul centroid routing (default ON since r6, see
+    _matmul_routing_enabled) must reproduce the interpreted fold path's
+    q_sim_ivf output EXACTLY: same cells, same probe routing, same
+    final top-k. The measured assignment / routing margins
+    (test_ivf_tie_margins_dominate_float_error) are what guarantees
+    summation-order differences cannot flip a decision; this test pins
+    the end-to-end consequence — and keeps the
+    spark.aub.vectorRouting=fold escape hatch honest."""
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
         similarity,
     )
@@ -935,20 +936,20 @@ def test_ivf_matmul_routing_matches_fold_path(spark, sf_dir):
             for r in similarity.q_sim_ivf(spark, sf_dir).collect()
         )
 
-    assert not similarity._matmul_routing_enabled(spark)  # default OFF
-    fold = run()
-    spark.conf.set("spark.aub.vectorRouting", "matmul")
+    assert similarity._matmul_routing_enabled(spark)  # default ON
+    matmul = run()
+    spark.conf.set("spark.aub.vectorRouting", "fold")
     try:
-        assert similarity._matmul_routing_enabled(spark)
-        matmul = run()
+        assert not similarity._matmul_routing_enabled(spark)
+        fold = run()
     finally:
-        spark.conf.set("spark.aub.vectorRouting", "fold")
+        spark.conf.unset("spark.aub.vectorRouting")
     assert fold == matmul
 
 
 def test_semantic_matmul_routing_matches_fold_path(spark, sf_dir):
-    """q_dedup_semantic shares q_sim_ivf's gated matmul centroid
-    routing — same end-to-end output-identity requirement (see
+    """q_dedup_semantic shares q_sim_ivf's matmul centroid routing
+    (default ON) — same end-to-end output-identity requirement (see
     test_ivf_matmul_routing_matches_fold_path)."""
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
         dedup,
@@ -961,11 +962,11 @@ def test_semantic_matmul_routing_matches_fold_path(spark, sf_dir):
             for r in dedup.q_dedup_semantic(spark, sf_dir).collect()
         )
 
-    assert not similarity._matmul_routing_enabled(spark)
-    fold = run()
-    spark.conf.set("spark.aub.vectorRouting", "matmul")
+    assert similarity._matmul_routing_enabled(spark)  # default ON
+    matmul = run()
+    spark.conf.set("spark.aub.vectorRouting", "fold")
     try:
-        matmul = run()
+        fold = run()
     finally:
-        spark.conf.set("spark.aub.vectorRouting", "fold")
+        spark.conf.unset("spark.aub.vectorRouting")
     assert fold == matmul

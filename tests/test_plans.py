@@ -214,25 +214,85 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
 def test_no_fact_scaled_table_is_broadcast_hinted(spark, sf_dir):
     """No registered batch query may force-broadcast a table whose size
     scales with the data (customer/orders/lineitem/part/supplier/events/
-    documents/embeddings) without first reducing it through an
-    Aggregate/Limit/Deduplicate. A hint overrides the size threshold AND
-    AQE, so a fact-scaled build side that fits at sf0.1 OOMs every
-    executor at sf100 — the round-2 q_stream_static_join bug class.
-    Constant-size dims (nation=25 rows, region=5, literal tables) and
-    reduced derivations stay hintable.
+    documents/embeddings) without first BOUNDING its cardinality. A
+    hint overrides the size threshold AND AQE, so a fact-scaled build
+    side that fits at sf0.1 OOMs every executor at sf100 — the round-2
+    q_stream_static_join bug class. Bounding = GlobalLimit, Deduplicate,
+    or an Aggregate whose grouping keys all have bounded domains
+    (global aggregates, enum columns, constant-modulus bucket ids).
 
-    Allowlist: the similarity family broadcasts the PROBE set — a
-    `vec_id < N_PROBES` (=5 rows at any sf) filter of embeddings. The
-    bound is a constant predicate, which the structural walk cannot
-    distinguish from a scaling filter, so these three are exempted by
-    name with the bound stated."""
-    probe_set_bounded = {"q_sim_topk_bruteforce", "q_sim_ivf", "q_sim_ann"}
+    Tightened in r6 (VERDICT r5 item 3): an Aggregate grouped on a
+    DATA-DERIVED unbounded key (token, word, doc_id …) no longer
+    legalizes a hint — that loophole let a vocabulary-sized
+    broadcast(freq) ship in the jaccard/containment prefix joins, and a
+    word-frequency table on a 100 TB web corpus is billions of rows
+    (Heaps' law). Re-introducing any of those hints now fails here
+    (regression-pinned in test_vocabulary_keyed_aggregate_is_not_a_
+    legal_hint_target).
+
+    Allowlist, each with its stated out-of-band bound:
+    - q_sim_topk_bruteforce / q_sim_ivf / q_sim_ann broadcast the PROBE
+      set — a `vec_id < N_PROBES` (=5 rows at any sf) filter of
+      embeddings; a constant predicate the structural walk cannot
+      distinguish from a scaling filter.
+    - q_text_langid broadcasts the language profiles — bounded to
+      O(languages × PROFILE_K) by the `rank <= PROFILE_K` filter over a
+      row_number window, a top-K-per-bounded-group reducer the walk
+      cannot see (it only recognizes Aggregate/Limit/Deduplicate)."""
+    hint_bounded_out_of_band = {
+        "q_sim_topk_bruteforce",
+        "q_sim_ivf",
+        "q_sim_ann",
+        "q_text_langid",
+    }
 
     def check(name, df):
         bad = plans.unreduced_fact_broadcast_hints(df)
         assert not bad, f"fact-scaled broadcast hint(s): {bad}"
 
-    _sweep_batch_queries(spark, sf_dir, check, skip=probe_set_bounded)
+    _sweep_batch_queries(spark, sf_dir, check, skip=hint_bounded_out_of_band)
+
+
+def test_vocabulary_keyed_aggregate_is_not_a_legal_hint_target(
+    spark, sf_dir
+):
+    """Direct regression pin for VERDICT r5 items 2+3: force-broadcast a
+    token-frequency aggregate (the exact shape de-hinted in the
+    jaccard/containment prefix joins and TF-IDF) and assert the plan
+    walk flags it — grouping on a data-derived key must NOT legalize a
+    hint. Also pins the node-level classifier both ways."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.plans.inspect import (
+        _aggregate_is_bounded,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = words.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    hinted = words.join(F.broadcast(freq), "token")
+    assert plans.unreduced_fact_broadcast_hints(hinted), (
+        "vocabulary-keyed Aggregate legalized a broadcast hint — the "
+        "r5 loophole is back"
+    )
+    # a bounded-key aggregate over the same fact table stays hintable
+    by_enum = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ok = d.join(F.broadcast(by_enum), "lang")
+    assert not plans.unreduced_fact_broadcast_hints(ok)
+    # node-level classifier: global agg bounded, token-keyed not
+    assert _aggregate_is_bounded(
+        "Aggregate [cast(count(1) as double) AS n_docs#21]"
+    )
+    assert _aggregate_is_bounded(
+        "Aggregate [lang#2], [lang#2, count(1) AS n#9L]"
+    )
+    assert not _aggregate_is_bounded(
+        "Aggregate [token#6], [token#6, count(1) AS freq#8L]"
+    )
+    assert not _aggregate_is_bounded(
+        "Aggregate [word#33], [word#33, count(distinct doc_id#28L) "
+        "AS df#12L]"
+    )
 
 
 def test_streaming_jobs_source_has_no_broadcast_hint():

@@ -58,8 +58,12 @@ def main() -> int:
     if vanilla:
         from pyspark.sql import SparkSession
 
+        # honor the driver rig's CPU count like the tuned path does —
+        # a hardcoded local[32] oversubscribes smaller rigs and drifts
+        # from the environment this mode claims to replicate
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         spark = (
-            SparkSession.builder.master("local[32]")
+            SparkSession.builder.master(f"local[{cpus}]")
             .appName("oracle_check_vanilla")
             .getOrCreate()
         )
@@ -122,8 +126,9 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
         else:
             failures.append(name)
+    checked = len(only) if only else len(qs)
     print(
-        f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed"
+        f"\n{checked - len(failures)}/{checked} passed"
         + (f"; FAILURES: {failures}" if failures else "")
     )
     return 1 if failures else 0

@@ -74,10 +74,22 @@ PROBES = {
 
 
 def build_replica(k: int) -> str:
-    out = os.path.join(WORK, f"x{k}")
+    # Replica dirs are keyed by the BASE fixture path (hashed into the
+    # dir name) and built tmp-then-atomic-rename: a bare /tmp/...​/x{k}
+    # reused unconditionally could be a partial dir from an interrupted
+    # COPY, or built from a DIFFERENT SPARK_GRAFT_SF_DIR — either one
+    # silently skews the published scaling exponents.
+    import hashlib
+
+    base_tag = hashlib.md5(
+        os.path.abspath(BASE_SF).encode()
+    ).hexdigest()[:8]
+    out = os.path.join(WORK, f"{base_tag}_x{k}")
     if os.path.isdir(out):
-        return out
-    os.makedirs(out, exist_ok=True)
+        return out  # rename is atomic, so an existing dir is complete
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     con = duckdb.connect()
     for table, id_cols in _TABLES.items():
         src = os.path.join(BASE_SF, f"{table}.parquet")
@@ -89,16 +101,18 @@ def build_replica(k: int) -> str:
         )
         con.execute(
             f"COPY (SELECT {proj} FROM '{src}', range({k}) t(i)) "
-            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+            f"TO '{tmp}/{table}.parquet' (FORMAT PARQUET)"
         )
     # small dims pass through untouched (some queries join them)
     for table in ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem"):
         src = os.path.join(BASE_SF, f"{table}.parquet")
         if os.path.exists(src):
-            dst = os.path.join(out, f"{table}.parquet")
-            if not os.path.exists(dst):
-                shutil.copyfile(src, dst)
+            shutil.copyfile(src, os.path.join(tmp, f"{table}.parquet"))
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a race to a concurrent builder — theirs won
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -30,17 +30,24 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session impor
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-UI = "http://localhost:4040"
 
 
-def _stages() -> list[dict]:
+def _stages(spark) -> list[dict]:
+    # Read the BOUND UI address + app id from the session itself: if
+    # another Spark UI already holds 4040, this session binds 4041 and a
+    # hardcoded localhost:4040 would silently sum a FOREIGN application's
+    # stages (typically reporting zero new stages per query).
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        raise SystemExit("session has no UI — run in a fresh process")
+    app_id = spark.sparkContext.applicationId
     apps = json.load(
-        urllib.request.urlopen(f"{UI}/api/v1/applications", timeout=10)
+        urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10)
     )
-    app_id = apps[0]["id"]
+    assert any(a["id"] == app_id for a in apps), (app_id, apps)
     return json.load(
         urllib.request.urlopen(
-            f"{UI}/api/v1/applications/{app_id}/stages?status=complete",
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
             timeout=10,
         )
     )
@@ -77,9 +84,9 @@ def main() -> None:
     for name in names:
         if name.startswith("q_stream_"):
             continue  # streaming: state-store traffic, not exchanges
-        seen = {s["stageId"] for s in _stages()}
+        seen = {s["stageId"] for s in _stages(spark)}
         n = qs[name](spark, SF_DIR).count()
-        new = [s for s in _stages() if s["stageId"] not in seen]
+        new = [s for s in _stages(spark) if s["stageId"] not in seen]
         w = sum(s.get("shuffleWriteBytes", 0) for s in new)
         r = sum(s.get("shuffleReadBytes", 0) for s in new)
         inp = sum(s.get("inputBytes", 0) for s in new)
