@@ -354,12 +354,24 @@ def prefix_filtered_jaccard_join(
         / F.lit(t.denominator)
     )
     p = (n - ceil_tn + 1).cast("int")
+    # PERSIST the prefix relation: it feeds BOTH sides of the self-join
+    # below, and Spark cannot deduplicate the two subtrees itself — the
+    # higher-order lambdas (array_sort/transform) defeat plan
+    # canonicalization, so neither static ReuseExchange nor AQE stage
+    # reuse fires (measured: 12 corpus scans, the freq aggregate and
+    # the per-doc sort each computed twice). One explicit persist is
+    # the staged-pipeline materialization a production run would write
+    # to a table anyway; MEMORY_AND_DISK because the relation is
+    # O(corpus prefix tokens) — spill, don't OOM. Rows are slim
+    # (doc_id, token).
+    from pyspark import StorageLevel
+
     prefixes = ordered.select(
         "doc_id",
         F.explode(
             F.slice(F.transform("wf", lambda s: s["token"]), F.lit(1), p)
         ).alias("token"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         prefixes.alias("pa")
         .join(
@@ -486,6 +498,16 @@ def prefix_filtered_containment_join(
         / F.lit(t.denominator)
     )
     p = (n - ceil_tn + 1).cast("int")
+    # PERSIST the frequency-ordered per-doc token relation: both the
+    # probe (prefixes) and index (postings) sides below derive from it,
+    # and the lambda-bearing lineage defeats Spark's exchange reuse
+    # (see the matching note in prefix_filtered_jaccard_join), so
+    # without the persist the tokenize + freq aggregate + per-doc sort
+    # chain executes twice. MEMORY_AND_DISK: one row per doc, spills
+    # rather than OOMs.
+    from pyspark import StorageLevel
+
+    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
     # probe side: the p rarest tokens per doc; index side: ALL tokens.
     # A probe only meets equal-or-larger partners (ties by doc_id keep
     # exactly one probe direction per equal-size pair alive — both
@@ -1522,6 +1544,16 @@ def qgram_blocked_editdist_join(
     # global document frequency per gram — the rarity order. NOT
     # broadcast: char-gram vocabularies scale with the corpus.
     freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # NOTE (r7 candidate): this relation feeds the prefix self-join
+    # (both sides) AND the short-doc fallback below, and the
+    # lambda-bearing lineage defeats Spark's exchange reuse (see
+    # prefix_filtered_jaccard_join) — so the gram explode + frequency
+    # aggregate + per-doc sort chain executes three times. The fix is
+    # the same persist() the jaccard/containment joins gained in r6;
+    # it is deliberately NOT applied here yet because q_dedup_editdist
+    # is outside the r6 driver-checked window (last verified r5) and a
+    # served-plan change must land in the same round its key is
+    # re-verified. Apply when the key rotates in (r7).
     ordered = (
         dg.join(freq, "g")
         .groupBy("doc_id", "ln")

@@ -770,9 +770,13 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled, just flatMapped to (doc_id, gram_md5) and filtered by the
     broadcast hash join, then one groupBy(doc_id) with map-side
     combine. Grams ride as 32-byte md5 fingerprints, not raw strings.
-    The broadcast hint sits above a Deduplicate over a single-source
-    filter — cardinality-reduced, so the fact-table broadcast guard
-    allows it by construction.
+    The broadcast hint sits above a Deduplicate of the SINGLE-SOURCE
+    (benchmark) gram set — bounded because a held-out eval set is
+    benchmark-sized at any corpus scale. The r6-tightened structural
+    guard cannot see that the source filter is the bound (a Deduplicate
+    on a data-derived key is otherwise treated as vocabulary-sized), so
+    this query is name-allowlisted in
+    test_no_fact_scaled_table_is_broadcast_hinted with this rationale.
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")

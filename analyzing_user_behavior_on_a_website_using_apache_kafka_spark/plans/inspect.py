@@ -121,11 +121,11 @@ _FACT_SIGNATURE_COLS = (
     "vec_id#",  # embeddings
 )
 
-# Logical nodes that reduce a fact-scaled input to a bounded (O(limit),
-# O(distinct keys)) build side, making a broadcast hint safe.
-# Aggregate is deliberately NOT here: it reduces to O(groups), which is
-# bounded only if its GROUPING KEYS are — see _aggregate_is_bounded.
-_REDUCING_NODES = ("GlobalLimit ", "Deduplicate ")
+# Logical nodes that reduce a fact-scaled input to a bounded O(limit)
+# build side, making a broadcast hint safe. Aggregate and Deduplicate
+# are deliberately NOT here: they reduce to O(groups)/O(distinct keys),
+# which is bounded only if their KEYS are — see _grouped_node_is_bounded.
+_REDUCING_NODES = ("GlobalLimit ",)
 
 # Grouping-key column names with a BOUNDED domain: enum-like fixture
 # columns (a handful of distinct values at ANY corpus size) and derived
@@ -165,19 +165,23 @@ _BOUNDED_GROUP_KEYS = frozenset(
     }
 )
 
-_AGG_RE = re.compile(r"^Aggregate \[")
+_GROUPED_RE = re.compile(r"^(Aggregate|Deduplicate) \[")
 _COL_RE = re.compile(r"(\w+)#\d+")
 
 
-def _aggregate_is_bounded(node: str) -> bool:
-    """True if an ``Aggregate`` node's grouping keys are all
-    bounded-domain. A GROUPED aggregate renders as
+def _grouped_node_is_bounded(node: str) -> bool:
+    """True if an ``Aggregate``/``Deduplicate`` node's grouping/dedup
+    keys are all bounded-domain. A GROUPED aggregate renders as
     ``Aggregate [keys], [exprs]``; a GLOBAL one (1 output row, always
-    bounded) renders with a single list — ``Aggregate [exprs]``. Keys
-    must all be names from _BOUNDED_GROUP_KEYS; any unrecognized column
-    name in the grouping list (token#…, word#…, doc_id#…) counts as
-    unbounded."""
-    if not _AGG_RE.match(node):
+    bounded) renders with a single list — ``Aggregate [exprs]``.
+    ``Deduplicate [keys]`` always lists its keys first. Keys must all
+    be names from _BOUNDED_GROUP_KEYS; any unrecognized column name in
+    the key list (token#…, word#…, gram#…, doc_id#…) counts as
+    unbounded — a corpus-wide ``distinct()`` over a data-derived key
+    is O(vocabulary) and does not legalize a broadcast hint any more
+    than the equivalent groupBy does."""
+    m = _GROUPED_RE.match(node)
+    if not m:
         return False
     # bracket-match the FIRST [...] group
     start = node.index("[")
@@ -190,7 +194,9 @@ def _aggregate_is_bounded(node: str) -> bool:
             if depth == 0:
                 end = j
                 break
-    if not node[end + 1 :].lstrip().startswith(", ["):
+    if m.group(1) == "Aggregate" and not node[end + 1 :].lstrip().startswith(
+        ", ["
+    ):
         return True  # single list — global aggregate, one row
     keys = node[start + 1 : end]
     if not keys.strip():
@@ -201,6 +207,11 @@ def _aggregate_is_bounded(node: str) -> bool:
     return all(n in _BOUNDED_GROUP_KEYS for n in names)
 
 
+# Backwards-compatible alias (tests pin the Aggregate-shaped cases
+# through this name too).
+_aggregate_is_bounded = _grouped_node_is_bounded
+
+
 def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
     """Broadcast-hint subtrees that scan a fact-SCALED table with no
     cardinality-BOUNDING node in between.
@@ -209,12 +220,13 @@ def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
     (customer is ~150 M rows at sf1000) OOMs every executor at scale no
     matter what the optimizer thinks — only hints over constant-size
     dims (nation, region, literal tables) or BOUNDED derivations are
-    scale-safe. Bounding nodes: GlobalLimit, Deduplicate, and Aggregate
-    whose grouping keys all have bounded domains (global aggregates,
-    enum columns, constant-modulus bucket ids — see
-    _BOUNDED_GROUP_KEYS). An Aggregate grouped on a data-derived key
-    (token, word, doc_id …) does NOT legalize the hint: its O(groups)
-    output is vocabulary/corpus-sized and still OOMs at 100 TB.
+    scale-safe. Bounding nodes: GlobalLimit, plus Aggregate/Deduplicate
+    whose grouping/dedup keys all have bounded domains (global
+    aggregates, enum columns, constant-modulus bucket ids — see
+    _BOUNDED_GROUP_KEYS). An Aggregate or distinct() keyed on a
+    data-derived column (token, word, gram, doc_id …) does NOT legalize
+    the hint: its O(groups) output is vocabulary/corpus-sized and still
+    OOMs at 100 TB.
     Returns the offending hint subtree headers; empty list = clean.
     Inspects the ANALYZED logical plan, where ``ResolvedHint`` is still
     an explicit node (the optimizer folds it into join-node hints
@@ -244,7 +256,7 @@ def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
             node.startswith(red)
             for node in subtree
             for red in _REDUCING_NODES
-        ) or any(_aggregate_is_bounded(node) for node in subtree)
+        ) or any(_grouped_node_is_bounded(node) for node in subtree)
         if has_fact and not has_reducer:
             offending.append(s)
     return offending

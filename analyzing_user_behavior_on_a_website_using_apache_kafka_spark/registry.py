@@ -62,9 +62,13 @@ _PRIORITY: tuple[str, ...] = (
     #       fresh CORRECTNESS row: the de-hinted vocabulary-sized
     #       broadcast(freq) joins (jaccard / containment — VERDICT r5
     #       item 2 — plus q_text_tfidf, same Heaps'-law pattern in its
-    #       df join), the Arrow-matmul centroid-routing default flip
-    #       (q_sim_ivf / q_dedup_semantic — item 4), and q_sim_ann
-    #       (empty-Arrow-batch guard added to its shared
+    #       df join) which also gained a shared-subtree persist (the
+    #       lambda lineage defeats exchange reuse — see SCALE.md r6
+    #       notes; q_dedup_clusters consumes the SAME memoized pair
+    #       sub-plan and is covered by jaccard's in-window row, the r5
+    #       precedent in reverse), the Arrow-matmul centroid-routing
+    #       default flip (q_sim_ivf / q_dedup_semantic — item 4), and
+    #       q_sim_ann (empty-Arrow-batch guard added to its shared
     #       _lsh_bucket_ids UDF — ADVICE r5; q_dedup_embed_cosine
     #       shares that UDF but stays r7: the guard is unreachable on
     #       non-empty batches and ann's fresh row exercises the path);

@@ -230,6 +230,11 @@ def test_no_fact_scaled_table_is_broadcast_hinted(spark, sf_dir):
     (regression-pinned in test_vocabulary_keyed_aggregate_is_not_a_
     legal_hint_target).
 
+    Also tightened in r6: a Deduplicate (distinct()) keyed on a
+    data-derived column no longer legalizes — a corpus-wide distinct
+    over tokens/grams is O(vocabulary), the same OOM as the equivalent
+    groupBy.
+
     Allowlist, each with its stated out-of-band bound:
     - q_sim_topk_bruteforce / q_sim_ivf / q_sim_ann broadcast the PROBE
       set — a `vec_id < N_PROBES` (=5 rows at any sf) filter of
@@ -238,12 +243,19 @@ def test_no_fact_scaled_table_is_broadcast_hinted(spark, sf_dir):
     - q_text_langid broadcasts the language profiles — bounded to
       O(languages × PROFILE_K) by the `rank <= PROFILE_K` filter over a
       row_number window, a top-K-per-bounded-group reducer the walk
-      cannot see (it only recognizes Aggregate/Limit/Deduplicate)."""
+      cannot see (it only recognizes bounded Aggregate/Deduplicate/
+      Limit).
+    - q_text_decontaminate broadcasts the distinct 8-gram md5s of the
+      BENCHMARK source only (`source == bench` filter before the
+      distinct) — a held-out eval set is benchmark-sized (MBs) at any
+      corpus scale, but the walk cannot tell a bounding filter from a
+      scaling one."""
     hint_bounded_out_of_band = {
         "q_sim_topk_bruteforce",
         "q_sim_ivf",
         "q_sim_ann",
         "q_text_langid",
+        "q_text_decontaminate",
     }
 
     def check(name, df):
@@ -293,6 +305,15 @@ def test_vocabulary_keyed_aggregate_is_not_a_legal_hint_target(
         "Aggregate [word#33], [word#33, count(distinct doc_id#28L) "
         "AS df#12L]"
     )
+    # Deduplicate gets the same key discipline: a corpus-wide
+    # distinct() on a data-derived key is O(vocabulary), not a reducer
+    assert _aggregate_is_bounded("Deduplicate [event_type#4]")
+    assert not _aggregate_is_bounded("Deduplicate [gram#17]")
+    # ...and the plan-level consequence: distinct() over exploded
+    # corpus tokens does not legalize a hint either
+    distinct_tokens = words.select("token").distinct()
+    hinted2 = words.join(F.broadcast(distinct_tokens), "token")
+    assert plans.unreduced_fact_broadcast_hints(hinted2)
 
 
 def test_streaming_jobs_source_has_no_broadcast_hint():
