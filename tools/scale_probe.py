@@ -70,6 +70,9 @@ PROBES = {
     "q_sample_hash": "hash-bucket filter",
     "q_time_rollup": "partial agg to O(hours×types) + calendar grid",
     "q_sessionize_batch": "per-user window, user-partitioned",
+    # r6 addition, with the funnel's promotion to the bench headline:
+    # per-user conditional-min windows after one shuffle on user_id
+    "q_funnel_conversion": "per-user ordered-step windows, user-partitioned",
 }
 
 
