@@ -207,10 +207,6 @@ def _grouped_node_is_bounded(node: str) -> bool:
     return all(n in _BOUNDED_GROUP_KEYS for n in names)
 
 
-# Backwards-compatible alias (tests pin the Aggregate-shaped cases
-# through this name too).
-_aggregate_is_bounded = _grouped_node_is_bounded
-
 
 def unreduced_fact_broadcast_hints(df: DataFrame) -> list[str]:
     """Broadcast-hint subtrees that scan a fact-SCALED table with no

@@ -274,7 +274,7 @@ def test_vocabulary_keyed_aggregate_is_not_a_legal_hint_target(
     walk flags it — grouping on a data-derived key must NOT legalize a
     hint. Also pins the node-level classifier both ways."""
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.plans.inspect import (
-        _aggregate_is_bounded,
+        _grouped_node_is_bounded,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -292,28 +292,51 @@ def test_vocabulary_keyed_aggregate_is_not_a_legal_hint_target(
     ok = d.join(F.broadcast(by_enum), "lang")
     assert not plans.unreduced_fact_broadcast_hints(ok)
     # node-level classifier: global agg bounded, token-keyed not
-    assert _aggregate_is_bounded(
+    assert _grouped_node_is_bounded(
         "Aggregate [cast(count(1) as double) AS n_docs#21]"
     )
-    assert _aggregate_is_bounded(
+    assert _grouped_node_is_bounded(
         "Aggregate [lang#2], [lang#2, count(1) AS n#9L]"
     )
-    assert not _aggregate_is_bounded(
+    assert not _grouped_node_is_bounded(
         "Aggregate [token#6], [token#6, count(1) AS freq#8L]"
     )
-    assert not _aggregate_is_bounded(
+    assert not _grouped_node_is_bounded(
         "Aggregate [word#33], [word#33, count(distinct doc_id#28L) "
         "AS df#12L]"
     )
     # Deduplicate gets the same key discipline: a corpus-wide
     # distinct() on a data-derived key is O(vocabulary), not a reducer
-    assert _aggregate_is_bounded("Deduplicate [event_type#4]")
-    assert not _aggregate_is_bounded("Deduplicate [gram#17]")
+    assert _grouped_node_is_bounded("Deduplicate [event_type#4]")
+    assert not _grouped_node_is_bounded("Deduplicate [gram#17]")
     # ...and the plan-level consequence: distinct() over exploded
     # corpus tokens does not legalize a hint either
     distinct_tokens = words.select("token").distinct()
     hinted2 = words.join(F.broadcast(distinct_tokens), "token")
     assert plans.unreduced_fact_broadcast_hints(hinted2)
+
+
+def test_prefix_filter_joins_persist_their_shared_subtree(spark, sf_dir):
+    """r6 regression pin: the jaccard/containment prefix-filter joins
+    SELF-join a relation whose higher-order-lambda lineage defeats
+    Spark's exchange reuse (measured: 12 parquet scans, the frequency
+    aggregate computed once per side, zero ReusedExchange). The fix is
+    an explicit persist of the shared relation — measured 94 → 11.5 s
+    (jaccard) and ~28 → 8.7 s (containment) at sf0.1 (SCALE.md r6
+    notes). This asserts the persist is still in the plan: both sides
+    of each self-join must read the SAME InMemoryRelation."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        prefix_filtered_containment_join,
+        prefix_filtered_jaccard_join,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    for fn in (prefix_filtered_jaccard_join, prefix_filtered_containment_join):
+        opt = fn(d)._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("InMemoryRelation") >= 2, (
+            f"{fn.__name__}: shared-subtree persist missing — the "
+            "tokenize+freq+sort chain will execute once per join side"
+        )
 
 
 def test_streaming_jobs_source_has_no_broadcast_hint():

@@ -14,6 +14,7 @@ fails here before it fails at the driver.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
