@@ -368,16 +368,27 @@ def prefix_filtered_jaccard_join(
 
     prefixes = ordered.select(
         "doc_id",
+        F.size("wf").alias("nt"),
         F.explode(
             F.slice(F.transform("wf", lambda s: s["token"]), F.lit(1), p)
         ).alias("token"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # AllPairs length filter (lossless): J(A,B) ≥ t ⟹
+    # |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so
+    # min·den ≥ num·max — in the threshold's exact integer form. Prunes
+    # size-incompatible candidates BEFORE the dropDuplicates shuffle and
+    # the array_intersect verify; matters most on real corpora, whose
+    # token-set sizes span orders of magnitude.
+    len_ok = F.least(F.col("pa.nt"), F.col("pb.nt")) * F.lit(
+        t.denominator
+    ) >= F.lit(t.numerator) * F.greatest(F.col("pa.nt"), F.col("pb.nt"))
     cand = (
         prefixes.alias("pa")
         .join(
             prefixes.alias("pb"),
             (F.col("pa.token") == F.col("pb.token"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & len_ok,
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
