@@ -120,7 +120,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id equi-joins, the same slim-then-rejoin pattern as
     prefix_filtered_jaccard_join's verification step.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    # PERSIST the signature table: it feeds 8 band projections, BOTH
+    # sides of the bucket self-join, and the two signature re-attach
+    # joins — and the higher-order-lambda minhash lineage defeats
+    # Spark's exchange reuse (see prefix_filtered_jaccard_join), so
+    # unpersisted the corpus is re-tokenized and re-permuted ~18×.
+    # 32 longs + doc_id ≈ 260 B/doc; a production pipeline stages this
+    # exact table to storage. MEMORY_AND_DISK: spill, don't OOM.
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rows_per_band = _N_HASHES // _N_BANDS
     bands = []
     for band in range(_N_BANDS):
