@@ -136,9 +136,13 @@ _PRIORITY: tuple[str, ...] = (
     # --- (d) family pin ---
     "q_udaf_grouped",
     # Every key outside this window has a driver check from r04/r05
-    # (<=3 rounds old after r06 runs). r7 plan: the 47 r4-checked keys
+    # (<=3 rounds old after r06 runs). r7 plan: the 45 r4-checked keys
     # (48 minus tfidf/ivf/ann, re-checked here) lead the next window —
-    # q_dedup_embed_cosine first.
+    # q_dedup_embed_cosine first — and the queued shared-subtree
+    # persists land with their keys in-window: q_dedup_editdist
+    # (20-scan plan, note at its `ordered` definition), q_dedup_simhash
+    # (20-scan signature recompute, same fix minhash got in r6),
+    # q_dedup_embed_cosine (14-scan bucketed_all_tables recompute).
 )
 
 
