@@ -1409,8 +1409,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
     if _matmul_routing_enabled(spark):
-        # same gated Arrow-matmul route as q_sim_ivf (default OFF —
-        # flips in r6; equality test-pinned in test_northstar.py)
+        # same Arrow-matmul route as q_sim_ivf (default ON since r6;
+        # equality vs the fold test-pinned in test_northstar.py)
         assigned = _route_cells_matmul(v, centroids, 1).select(
             "vec_id", "cell"
         )
@@ -1423,6 +1423,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = dist.groupBy("vec_id").agg(
             F.min_by("cell", F.struct("dist2", "cell")).alias("cell")
         )
+    # PERSIST the assignment: it feeds BOTH sides of the within-cell
+    # member self-join below, and its lineage is a full-corpus routing
+    # pass (Arrow UDF or 64-term folds) that Spark cannot deduplicate
+    # across the two sides (see prefix_filtered_jaccard_join on why
+    # reuse never fires). 16 B/row — the cluster-assignment table a
+    # production SemDeDup run writes to storage anyway.
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     member = assigned.join(v, "vec_id")
     a = member.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("emb").alias("ea")
