@@ -87,3 +87,37 @@ def test_rotation_staleness_invariant():
 
     problems = rotation_check.check_rotation("/root/repo")
     assert not problems, "\n".join(problems)
+
+
+def test_rotation_checker_logic_on_synthetic_history(tmp_path, monkeypatch):
+    """Unit-pin the checker itself (the repo-state test above only
+    proves the CURRENT window is legal, not that the checker would
+    catch an illegal one): a key never driver-checked and a key past
+    the staleness bound must both be flagged when outside the window;
+    fixing the history clears both."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import rotation_check
+
+    names = [f"q_{i:03d}" for i in range(120)]  # >100 keys -> bound 3
+    monkeypatch.setattr(
+        rotation_check.registry,
+        "all_queries",
+        lambda: {n: None for n in names},
+    )
+    # q_118 never checked, q_119 last checked r1; everything else r4.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"q_119": {}}))
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({n: {} for n in names if n not in ("q_118", "q_119")})
+    )
+    problems = rotation_check.check_rotation(str(tmp_path))
+    assert any("q_118" in p and "never" in p for p in problems), problems
+    assert any("q_119" in p and "stale" in p for p in problems), problems
+    assert len(problems) == 2, problems
+    # same history with both keys freshly checked -> invariant holds
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({n: {} for n in names})
+    )
+    assert rotation_check.check_rotation(str(tmp_path)) == []
