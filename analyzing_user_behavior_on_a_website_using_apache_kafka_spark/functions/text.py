@@ -298,9 +298,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus's distinct-word table in the billions of rows — so the
     join stays a plain equi-join on word that AQE promotes to broadcast
     only when df genuinely fits (the same de-hinting as the dedup
-    prefix-filter joins, VERDICT r5 item 2). tf and df share the
-    tokenize→explode lineage, so the shuffle on word co-partitions both
-    sides.
+    prefix-filter joins, VERDICT r5 item 2). Cost model (corrected,
+    ADVICE r6): tf is hash-partitioned on (doc_id, word), which does
+    NOT satisfy a join on word alone — when AQE does not promote df to
+    broadcast, the join re-shuffles tf on word. That re-shuffle carries
+    (doc_id, word, count) rows — the post-aggregate relation, far
+    smaller than the exploded token stream — and is the unavoidable
+    price of keying the output by (doc_id, word) while df is keyed by
+    word.
     """
     tok = tokenized(spark, sf_dir)
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))

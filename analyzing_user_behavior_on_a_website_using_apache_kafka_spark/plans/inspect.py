@@ -137,6 +137,15 @@ _REDUCING_NODES = ("GlobalLimit ",)
 # vocabulary keys), so an Aggregate over it does NOT legalize a
 # broadcast hint (VERDICT r5 item 3 — the loophole the vocabulary-sized
 # freq broadcast slipped through in the dedup prefix-filter joins).
+#
+# WARNING (ADVICE r6): several entries below are generic bare names
+# (m, k, band, tbl, salt, source, city). NEVER reuse one of these for a
+# DATA-DERIVED column in a new query — a corpus-cardinality column
+# named e.g. `k` would silently legalize a fact-table broadcast hint
+# through this allowlist. When adding a derived key, prefer a prefixed
+# name (pq_m-style) unless it must match an existing fixture column;
+# tests/test_plan_guard.py::test_bounded_group_keys_stay_constant_card
+# cross-checks the fixture-enum entries against the actual data.
 _BOUNDED_GROUP_KEYS = frozenset(
     {
         # fixture enum columns

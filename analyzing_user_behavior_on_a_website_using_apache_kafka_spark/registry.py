@@ -54,95 +54,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-6 window (VERDICT r5 items 1, 2, 4, 6).  Composition:
-    #   (a) the 2 keys last driver-checked in r2 — at the 3-round
-    #       staleness bound, they rotate FIRST (the one red test in r5
-    #       was tools/rotation_check.py flagging exactly these);
-    #   (b) every key whose implementation CHANGED in r6 and so needs a
-    #       fresh CORRECTNESS row: the de-hinted vocabulary-sized
-    #       broadcast(freq) joins (jaccard / containment — VERDICT r5
-    #       item 2 — plus q_text_tfidf, same Heaps'-law pattern in its
-    #       df join) which also gained a shared-subtree persist (the
-    #       lambda lineage defeats exchange reuse — see SCALE.md r6
-    #       notes; q_dedup_clusters consumes the SAME memoized pair
-    #       sub-plan and is covered by jaccard's in-window row, the r5
-    #       precedent in reverse), the Arrow-matmul centroid-routing
-    #       default flip (q_sim_ivf / q_dedup_semantic — item 4), and
-    #       q_sim_ann (empty-Arrow-batch guard added to its shared
-    #       _lsh_bucket_ids UDF — ADVICE r5; q_dedup_embed_cosine
-    #       shares that UDF but stays r7: the guard is unreachable on
-    #       non-empty batches and ann's fresh row exercises the path);
-    #   (c) ALL 41 remaining keys last driver-checked in r3 (the full
-    #       staleness backlog — item 6: after this window runs, no key
-    #       outside it is older than r4, so rotation_check projects
-    #       zero violations for r7);
-    #   (d) q_udaf_grouped — sole member of the q_uda* family, pinned
-    #       in-window by test_registry's family-coverage invariant.
-    # (Steady state: 142 keys / 50-key windows makes a strict
-    # <=2-round cycle infeasible — tools/rotation_check.py enforces the
-    # feasible <=3-round bound plus never-stale-new-keys.)
-    # --- (a) r2-stale, rotate first ---
-    "q_text_langstats",
-    "q_text_normalize",
-    # --- (b) changed in r6 ---
-    "q_dedup_ngram_jaccard",
-    "q_dedup_containment",
-    "q_text_tfidf",
-    "q_sim_ivf",
-    "q_dedup_semantic",
-    "q_sim_ann",
-    # --- (c) r3-stale backlog, all 41 remaining ---
-    "q_agg_approx_quantile",
-    "q_agg_sketch_merge",
-    "q_agg_stats",
-    "q_cohort_retention",
-    "q_dedup_incremental",
-    "q_dedup_near",
-    "q_embed_normquant",
-    "q_event_transitions",
-    "q_funnel_conversion",
-    "q_growth_accounting",
-    "q_join_range_binned",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_pack_sequences",
-    "q_path_topk",
-    "q_pipeline_curate",
-    "q_sample_mixture",
-    "q_sample_stratified",
-    "q_sim_topk_bruteforce",
-    "q_sink_bucketed",
-    "q_sink_upsert",
-    "q_source_evolving_schema",
-    "q_sql_window",
-    "q_stream_complete_agg",
-    "q_stream_custom_state",
-    "q_stream_session",
-    "q_stream_static_join",
-    "q_stream_tumbling",
-    "q_text_chunk",
-    "q_text_decontaminate",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_ngram_counts",
-    "q_text_pii_scrub",
-    "q_text_repetition",
-    "q_text_rollhash",
-    "q_text_token_bpe",
-    "q_text_unigram_logprob",
-    "q_udf_cogroup",
-    "q_udtf_explode",
-    "q_win_first_last",
-    # --- (d) family pin ---
+    # Round-7 window (VERDICT r6 items 1-4).  Composition:
+    #   (a) the 3 keys whose served plans CHANGE this round — the
+    #       queued shared-subtree persists (lambda lineage defeats
+    #       exchange reuse; the fix minhash/jaccard/containment got
+    #       in r6): q_dedup_embed_cosine FIRST (it is additionally
+    #       the only key serving an r6 UDF change — the empty-batch
+    #       guard in the shared _lsh_bucket_ids — without a fresh
+    #       driver row), then q_dedup_simhash (20-scan signature
+    #       recompute) and q_dedup_editdist (20-scan gram/freq/sort
+    #       recompute, was r5-checked);
+    #   (b) ALL 43 remaining keys last driver-checked in r4 — at
+    #       the 3-round staleness bound after this round runs;
+    #   (c) fillers to 50 from the r5-checked set, chosen to keep
+    #       every family pinned in-window (test_registry):
+    #       q_udaf_grouped (sole q_uda* key), q_sim_pq_adc,
+    #       q_text_tokens, q_text_vocab — re-checking r5 keys also
+    #       thins the r8 backlog (43 r5 keys remain, <=50 window).
+    # Steady state: 142 keys / 50-key windows — the feasible bound
+    # is <=3 rounds, enforced by tools/rotation_check.py.
+    # --- (a) changed in r7: persists land with their keys ---
+    "q_dedup_embed_cosine",
+    "q_dedup_simhash",
+    "q_dedup_editdist",
+    # --- (b) the 43 remaining r4-checked keys ---
+    "q_agg_count_by",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_sum_avg",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_event_dwell",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_range",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_join_theta_range",
+    "q_json_funcs",
+    "q_math_funcs",
+    "q_multimodal_cols",
+    "q_pivot",
+    "q_project_derive",
+    "q_sample_hash",
+    "q_scan_project",
+    "q_sessionize_batch",
+    "q_sink_append",
+    "q_sink_partitioned",
+    "q_sort_limit",
+    "q_source_csv",
+    "q_source_json",
+    "q_sql_report",
+    "q_str_funcs",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_stream_stream_left",
+    "q_stream_watermark_late",
+    "q_subquery_scalar",
+    "q_udf_pandas",
+    "q_win_lag_lead",
+    # --- (c) family pins / r8-backlog thinning (r5-checked) ---
     "q_udaf_grouped",
-    # Every key outside this window has a driver check from r04/r05
-    # (<=3 rounds old after r06 runs). r7 plan: the 45 r4-checked keys
-    # (48 minus tfidf/ivf/ann, re-checked here) lead the next window —
-    # q_dedup_embed_cosine first — and the queued shared-subtree
-    # persists land with their keys in-window: q_dedup_editdist
-    # (20-scan plan, note at its `ordered` definition), q_dedup_simhash
-    # (20-scan signature recompute, same fix minhash got in r6),
-    # q_dedup_embed_cosine (14-scan bucketed_all_tables recompute).
+    "q_sim_pq_adc",
+    "q_text_tokens",
+    "q_text_vocab",
+    # r8 plan: the 43 remaining r5-checked keys lead the next
+    # window, plus any key whose served plan changes in r8.
 )
 
 
@@ -200,7 +185,7 @@ def _ensure_loaded() -> None:
     # and is environment-blocked: pyspark 4.1.2's TwS state-server
     # protocol imports google.protobuf, absent from this container
     # (verified: the driver-side schema worker crashes on the import;
-    # installs are off-limits). Re-probed r6 (2026-08-14):
+    # installs are off-limits). Re-probed r7 (2026-08-14):
     #   python -c "import google.protobuf"
     #     -> ModuleNotFoundError: No module named 'google'
     #   (grpc likewise absent) — still blocked. Revisit each round;

@@ -100,6 +100,16 @@ N_REPS = 3  # headline repetitions; reported value = median total
 # noise; median-of-3 pins it (VERDICT r5 item 7, accepting ~2 extra
 # runs of this one query per bench). Every other extended plan stays
 # single-shot: output-bound and comparatively narrow-banded.
+# The Spark cache is CLEARED before each rep (ADVICE r6 medium): the
+# query's internal persist() survives across reps via CacheManager
+# canonical-plan matching, so without the clear, reps 2+ measure a
+# warm-cache run (BENCH_r06 reps 5.901/4.088/3.616 show the systematic
+# cold->warm drop) and the median conflates plan cost with cache reuse.
+# With the clear, every rep is a cold end-to-end run — the number a
+# fresh pipeline stage would pay. Safe here: the clear runs after
+# q_dedup_clusters has already consumed the memoized jaccard pair
+# table, and every later extended query builds (and re-persists) its
+# own relations.
 EXTENDED_REPS = {"q_dedup_containment": 3}
 
 
@@ -157,14 +167,46 @@ def main() -> None:
     # pipeline would — its time here is CC rounds, not the pair join.
     extended_reps: dict[str, list[float]] = {}
     for name in [] if skip_ext else EXTENDED:
+        n_reps = EXTENDED_REPS.get(name, 1)
         reps = []
-        for _ in range(EXTENDED_REPS.get(name, 1)):
+        for _ in range(n_reps):
+            if n_reps > 1:
+                # cold rep: drop every cached relation (incl. the
+                # query's own persist from the previous rep) so the
+                # median measures the plan, not CacheManager reuse.
+                # Also evict the dedup pair-table memo: clearCache
+                # unpersists its storage, and a memo hit on an
+                # unpersisted DataFrame would silently recompute
+                # WITHOUT re-caching for any later consumer.
+                from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
+                    dedup as _dedup,
+                )
+
+                _dedup._PAIR_CACHE.clear()
+                spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             reps.append(round(time.time() - t0, 3))
         extended[name] = round(_median(reps), 3)
         if len(reps) > 1:
             extended_reps[name] = reps
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-rep detail goes to STDERR: the driver's tail capture is
+    # byte-limited and BENCH_r06.json recorded `parsed: null` when the
+    # verbose blobs pushed the headline metric out of the window.
+    print(
+        json.dumps(
+            {
+                "detail": "per_rep",
+                "reps": rep_totals,
+                "queries_per_rep": per_rep,
+                "extended_reps": extended_reps,
+            }
+        ),
+        file=sys.stderr,
+    )
+    # THE one-JSON-line driver contract — printed LAST and kept
+    # compact so the tail window always contains it whole.
     print(
         json.dumps(
             {
@@ -172,13 +214,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "reps": rep_totals,
-                "queries_per_rep": per_rep,
                 "extended": extended,
-                "extended_reps": extended_reps,
                 "extended_total_sec": round(sum(extended.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

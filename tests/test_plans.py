@@ -492,3 +492,75 @@ def test_incremental_dedup_index_side_is_exchange_and_sort_free(
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_r7_recompute_plans_persist_their_shared_subtree(spark, sf_dir):
+    """r7 regression pin (VERDICT r6 items 1-3): the last three
+    recompute-through-lambda-lineage plans gained the same explicit
+    persist the jaccard/containment joins got in r6. End-of-r6 plan
+    audit counted 20/20/14 parquet scans per run for
+    editdist/simhash/embed_cosine; with the persist, every self-join
+    side (and editdist's short-doc fallback) must read the SAME
+    InMemoryRelation instead of re-deriving the chain."""
+    qs = registry.all_queries()
+    for key, min_ims in (
+        ("q_dedup_editdist", 2),  # pa + pb + short-doc fallback
+        ("q_dedup_simhash", 2),  # 4 bands x 2 join sides
+        ("q_dedup_embed_cosine", 2),  # bucket self-join a/b
+    ):
+        opt = (
+            qs[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert opt.count("InMemoryRelation") >= min_ims, (
+            f"{key}: shared-subtree persist missing — the expensive "
+            "derivation chain will execute once per consuming subtree"
+        )
+
+
+def test_bounded_group_keys_stay_constant_card(sf_dir):
+    """ADVICE r6 tripwire: _BOUNDED_GROUP_KEYS legalizes broadcast
+    hints for Aggregates grouped on these names. The fixture-enum
+    entries must actually BE bounded in the data — if a future fixture
+    (or a data-derived column reusing one of these bare names) pushes
+    one past the bound, the allowlist would silently legalize a
+    fact-table broadcast. DuckDB scan, no Spark session needed."""
+    import duckdb
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.plans.inspect import (
+        _BOUNDED_GROUP_KEYS,
+    )
+
+    # Probe every parquet fixture table for allowlisted names; names
+    # only present in generated/streaming fixtures (page_url, device,
+    # city, …) and code-constant derived keys (bkt/cell/m/k/tbl/band/
+    # salt) have no parquet column and are skipped. At least the core
+    # enum set must resolve, or the test is vacuous.
+    import glob
+    import os
+
+    con = duckdb.connect()
+    checked = set()
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        table = os.path.basename(path).removesuffix(".parquet")
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{path}'"
+            ).fetchall()
+        ]
+        for col in _BOUNDED_GROUP_KEYS & set(cols):
+            n = con.execute(
+                f'SELECT COUNT(DISTINCT "{col}") FROM \'{path}\''
+            ).fetchone()[0]
+            assert n <= 64, (
+                f"{col} in {table} has {n} distinct values — no longer "
+                "a bounded-domain enum; remove it from "
+                "_BOUNDED_GROUP_KEYS"
+            )
+            checked.add(col)
+    assert {"event_type", "lang", "source", "o_orderstatus"} <= checked, (
+        f"core enum columns missing from fixture scan: {checked}"
+    )

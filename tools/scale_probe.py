@@ -114,8 +114,15 @@ def build_replica(k: int) -> str:
             shutil.copyfile(src, os.path.join(tmp, f"{table}.parquet"))
     try:
         os.rename(tmp, out)
-    except OSError:  # lost a race to a concurrent builder — theirs won
+    except OSError:
+        # Either we lost a race to a concurrent builder (theirs won and
+        # `out` now exists — fine) or the rename genuinely failed
+        # (cross-device WORK dir, permissions). Only the first case may
+        # be swallowed: returning a path that does not exist would
+        # surface later as a confusing parquet-read error (ADVICE r6).
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(out):
+            raise
     return out
 
 
