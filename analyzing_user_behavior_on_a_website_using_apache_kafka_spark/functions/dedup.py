@@ -8,7 +8,7 @@ The LLM-data-pipeline dedup ladder, each a separate declared query:
 - ngram Jaccard: exact similarity join via lossless prefix filtering;
 - clusters: connected components over the near-dup graph (iterative
   min-label propagation), keeper per component;
-- simhash: 48-bit sign-sum fingerprint, banded for hamming-≤k pairs;
+- simhash: 60-bit sign-sum fingerprint, banded for hamming-≤k pairs;
 - embedding cosine: LSH-candidate nearest-neighbor flagging.
 
 At 100 TB exact dedup groups on a 128-bit fingerprint instead of the
@@ -801,13 +801,26 @@ def connected_components(
 
 # --- SimHash --------------------------------------------------------------
 
-_SIMHASH_BITS = 48  # fits a BIGINT with headroom (no sign-bit trouble)
-_SIMHASH_BANDS = 4  # 4 × 12-bit bands block the pair search
+# 60 bits = 4 × 15-bit bands (was 48/4×12 through r6). Band width is
+# THE scale knob of fixed-width banding: chance band collisions between
+# unrelated documents arrive at rate ~bands·n²/2^width, so each added
+# band bit halves the quadratic term. 15-bit bands buy 8× the bucket
+# space of 12-bit at +25% fingerprint compute — which the persisted
+# signature table pays exactly once per corpus. 60 stays inside a
+# BIGINT with sign-bit headroom; the pigeonhole losslessness for
+# hamming ≤ 3 needs only >=4 bands and is width-independent, and the
+# driver-checked invariant (identical token sets ⇒ hamming 0, in every
+# band) is width-independent too. At 100 TB this constant must keep
+# growing with n (2^width ≳ bands·n²/candidate-budget) — fixed-width
+# banding saturates by construction; the sparse-replica probe
+# (tools/scale_probe.py --pairs) tracks the measured exponent.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4  # 4 × 15-bit bands block the pair search
 _HAMMING_MAX = 3
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 48-bit SimHash over distinct word tokens (map-only).
+    """doc_id → `_SIMHASH_BITS`-bit SimHash over distinct word tokens (map-only).
 
     Classic sign-sum construction (Charikar 2002): bit i of the
     fingerprint is set iff more token hashes have bit i set than not.
@@ -836,7 +849,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup pairs by SimHash hamming ≤ 3.
 
-    Fingerprints band into 4 × 12-bit keys; a pair is a candidate iff it
+    Fingerprints band into 4 × 15-bit keys; a pair is a candidate iff it
     collides in ≥1 band (pigeonhole: hamming ≤ 3 over 4 bands forces one
     identical band — the blocking is *lossless* for the ≤3 threshold).
     Exact hamming via bit_count(xor) verifies candidates. Band-bucketed
@@ -847,7 +860,7 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the driver window): it feeds 4 band projections × both self-join
     sides = 8 subtree copies, and the higher-order-lambda fingerprint
     expression defeats exchange reuse (see
-    prefix_filtered_jaccard_join), so unpersisted the 48-term sign-sum
+    prefix_filtered_jaccard_join), so unpersisted the 60-term sign-sum
     recomputes ~8× (20 parquet scans audited at r6 end). One slim
     (doc_id, bigint) row per doc — MEMORY_AND_DISK spills, never OOMs.
     Session-lifetime cache by design (_CACHE_OWNERSHIP, module top).

@@ -25,6 +25,11 @@ of 2 reps per cell (min, not mean: noise on this rig is one-sided —
 stragglers, never speedups).
 
 Usage: python tools/scale_probe.py [K ...]   (default: 1 10 100)
+       python tools/scale_probe.py --pairs [K ...]
+           pair-join mode (VERDICT r6 item 8): probes the Ω(output)
+           dedup pair joins on SPARSE replicas (per-replica token
+           suffixing keeps true output K-linear — see PAIR_PROBES);
+           base corpus $SCALE_PROBE_PAIRS_BASE (default sf0.01).
 """
 
 from __future__ import annotations
@@ -75,6 +80,31 @@ PROBES = {
     "q_funnel_conversion": "per-user ordered-step windows, user-partitioned",
 }
 
+# Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
+# Ω(output) plans that were excluded from the id-offset replicas above
+# because exact copies make output grow ~K². The SPARSE replica below
+# rewrites every whitespace token with a replica-unique suffix, so:
+#   - cross-replica token sets are fully DISJOINT -> Jaccard /
+#     containment / MinHash-band cross-pairs are exactly zero;
+#   - cross-replica edit distance >= 2 x token count >= 2 x 10 > _ED_D
+#     (suffix `_i_i` differs from `_j_j` in >=2 chars per token);
+#   - within-replica pair sets are identical across replicas (the
+#     rewrite is a per-replica bijection on tokens);
+# so TRUE OUTPUT grows exactly K-linearly and the exponent measures
+# the candidate-generation plan, not the fixture's self-similarity.
+# SimHash is the honest exception: its 4 x 15-bit band space is a code
+# constant, so chance band collisions grow ~n²/2^15 regardless of data
+# sparsity — a real saturation property of fixed-width banding that the
+# probe should SHOW, not hide (see the _SIMHASH_BITS note in
+# functions/dedup.py: the width must grow with n).
+PAIR_PROBES = {
+    "q_dedup_ngram_jaccard": "prefix-filter equi-join, Ω(output)",
+    "q_dedup_containment": "asymmetric prefix filter, Ω(output)",
+    "q_dedup_editdist": "q-gram prefix filter + banded verify",
+    "q_dedup_near": "MinHash banded bucket join",
+    "q_dedup_simhash": "4x15-bit band join (fixed band space)",
+}
+
 
 def build_replica(k: int) -> str:
     # Replica dirs are keyed by the BASE fixture path (hashed into the
@@ -112,6 +142,10 @@ def build_replica(k: int) -> str:
         src = os.path.join(BASE_SF, f"{table}.parquet")
         if os.path.exists(src):
             shutil.copyfile(src, os.path.join(tmp, f"{table}.parquet"))
+    return _finish_replica(tmp, out)
+
+
+def _finish_replica(tmp: str, out: str) -> str:
     try:
         os.rename(tmp, out)
     except OSError:
@@ -126,13 +160,71 @@ def build_replica(k: int) -> str:
     return out
 
 
+def build_sparse_replica(base_sf: str, k: int) -> str:
+    """Documents replicated K× with per-replica token suffixing (see
+    PAIR_PROBES note) + doc_id offset; every other table passes through
+    untouched. Same hash-keyed, tmp-then-atomic-rename discipline as
+    build_replica."""
+    import hashlib
+
+    base_tag = hashlib.md5(
+        os.path.abspath(base_sf).encode()
+    ).hexdigest()[:8]
+    out = os.path.join(WORK, f"{base_tag}_sparse_x{k}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    con = duckdb.connect()
+    src = os.path.join(base_sf, "documents.parquet")
+    # suffix `_i_i`: >=2 char edits per token between any two replicas,
+    # disjoint token vocabularies, and n_chars updated to match so any
+    # metadata-based length filter stays consistent with the text
+    con.execute(
+        rf"""
+        COPY (
+          SELECT doc_id + i * {_OFF} AS doc_id,
+                 regexp_replace(text, '(\S+)',
+                     '\1_' || CAST(i AS VARCHAR) || '_'
+                          || CAST(i AS VARCHAR), 'g') AS text,
+                 lang, source,
+                 CAST(len(regexp_replace(text, '(\S+)',
+                     '\1_' || CAST(i AS VARCHAR) || '_'
+                          || CAST(i AS VARCHAR), 'g')) AS INT)
+                   AS n_chars
+          FROM '{src}', range({k}) t(i)
+        ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for table in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+        s = os.path.join(base_sf, f"{table}.parquet")
+        if os.path.exists(s):
+            shutil.copyfile(s, os.path.join(tmp, f"{table}.parquet"))
+    return _finish_replica(tmp, out)
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
-    probes = PROBES
+    args = sys.argv[1:]
+    pairs_mode = "--pairs" in args
+    if pairs_mode:
+        args.remove("--pairs")
+    ks = [int(a) for a in args] or [1, 10, 100]
+    probes = PAIR_PROBES if pairs_mode else PROBES
     subset = os.environ.get("SCALE_PROBE_QUERIES")
     if subset:  # e.g. SCALE_PROBE_QUERIES=q_dedup_exact,q_text_tokens
-        probes = {n: PROBES[n] for n in subset.split(",")}
-    dirs = {k: build_replica(k) for k in ks}
+        probes = {n: probes[n] for n in subset.split(",")}
+    if pairs_mode:
+        # sf0.01 base: within-replica pair output is ~92 k rows, so the
+        # 100x sparse corpus (50 k docs) lands near sf0.1's single-run
+        # output — tractable where an sf0.1 base would be ~100x slower
+        base = os.environ.get(
+            "SCALE_PROBE_PAIRS_BASE", "/root/testdata/sf0.01"
+        )
+        dirs = {k: build_sparse_replica(base, k) for k in ks}
+    else:
+        dirs = {k: build_replica(k) for k in ks}
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # wide shuffles for the big replicas — measured 3.3× on the 1000×
     # window sort (see session.py initialPartitionNum note); AQE
@@ -150,6 +242,18 @@ def main() -> None:
         for k in ks:
             reps = []
             for _ in range(2):
+                if pairs_mode:
+                    # every pair plan persists its shared subtree; a
+                    # warm rep would measure only the post-cache join.
+                    # Cold both reps (and evict the pair-table memo —
+                    # see bench.py for why memo + clearCache must move
+                    # together) so min-of-2 is a cold-plan number.
+                    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
+                        dedup as _dedup,
+                    )
+
+                    _dedup._PAIR_CACHE.clear()
+                    spark.catalog.clearCache()
                 t0 = time.time()
                 qs[name](spark, dirs[k]).count()
                 reps.append(time.time() - t0)
