@@ -121,3 +121,67 @@ def test_rotation_checker_logic_on_synthetic_history(tmp_path, monkeypatch):
         json.dumps({n: {} for n in names})
     )
     assert rotation_check.check_rotation(str(tmp_path)) == []
+
+
+def test_window_proposer_satisfies_rotation_rules():
+    """tools/propose_window.py (r7) encodes the by-hand window
+    composition of rounds 4-7. On synthetic history: changed keys lead,
+    never-checked and at-bound keys are mandatory, fillers are
+    oldest-first, and every family keeps a representative."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from propose_window import propose
+
+    # families: synthetic names reuse two real prefixes so the pin
+    # logic has something to act on
+    names = [f"q_agg_{i:03d}" for i in range(60)] + [
+        f"q_win_{i:03d}" for i in range(58)
+    ] + ["q_udaf_grouped", "q_sim_x"]
+    # history: 40 q_agg_* checked r4 (at-bound), rest r5+, q_sim never;
+    # latest round = 6 -> next is 7; bound-3 means last <= 4 is at-bound
+    agg = [n for n in names if n.startswith("q_agg_")]
+    last = {n: 4 for n in agg[:40]}
+    last.update({n: 5 for n in agg[40:]})
+    last.update({n: 5 for n in names if n.startswith("q_win_")})
+    last["q_udaf_grouped"] = 6
+    picked, warnings = propose(
+        names, last, latest_round=6, changed=["q_agg_050"], window=50
+    )
+    assert not warnings, warnings
+    keys = [k for k, _ in picked]
+    assert len(keys) == 50 and len(set(keys)) == 50
+    assert keys[0] == "q_agg_050"  # changed leads
+    assert "q_sim_x" in keys  # never-checked is mandatory
+    # the window must swallow every at-bound r4 key
+    assert all(k in keys for k in names if last.get(k) == 4)
+    # second scenario: fewer mandatory keys, fillers + family pins
+    last = {n: 4 for n in list(names)[:30] if n.startswith("q_agg_")}
+    last.update(
+        {n: 5 for n in names if n.startswith("q_agg_") and n not in last}
+    )
+    last.update({n: 6 for n in names if n.startswith("q_win_")})
+    last["q_udaf_grouped"] = 6
+    picked, warnings = propose(
+        names, last, latest_round=6, changed=[], window=50
+    )
+    assert not warnings, warnings
+    keys = [k for k, _ in picked]
+    reasons = dict(picked)
+    assert len(keys) == 50
+    assert "q_sim_x" in keys
+    assert all(k in keys for k, r in last.items() if r == 4)
+    # fillers must be the OLDEST remaining (r5 before r6)
+    filler_rounds = [
+        last[k] for k, r in picked if r.startswith("backlog thinning")
+    ]
+    assert filler_rounds and max(filler_rounds) <= 6
+    # family pin: q_udaf_grouped is its family's only member and must
+    # be pinned in even though it was checked most recently
+    assert "q_udaf_grouped" in keys, reasons
+    # infeasibility is reported, not silently truncated
+    too_many = {n: 4 for n in names}
+    _, warnings = propose(
+        names, too_many, latest_round=6, changed=[], window=50
+    )
+    assert any("exceed" in w for w in warnings)
