@@ -88,6 +88,12 @@ EXTENDED = [
     # q-gram-blocked edit-distance join (prefix equi-join + banded
     # levenshtein verify; ~10 s clean at sf0.1, rig-noise band to ~45 s)
     "q_dedup_editdist",
+    # round-7 additions, tracked from the round their shared-subtree
+    # persists landed (VERDICT r6 items 2-3): the SimHash band join and
+    # the LSH embedding near-dup — visibility that the 20/14-scan
+    # recompute fix holds round-over-round.
+    "q_dedup_simhash",
+    "q_dedup_embed_cosine",
 ]
 
 

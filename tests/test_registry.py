@@ -185,3 +185,55 @@ def test_window_proposer_satisfies_rotation_rules():
         names, too_many, latest_round=6, changed=[], window=50
     )
     assert any("exceed" in w for w in warnings)
+
+
+def test_sparse_replica_keeps_pair_output_k_linear(tmp_path):
+    """tools/scale_probe.py --pairs rests on one property: the sparse
+    replica's per-replica token rewrite keeps TRUE pair output
+    K-linear. Pin its two mechanisms with DuckDB only (no Spark): the
+    token vocabularies of different replicas are fully disjoint (kills
+    every set-similarity cross-pair), and every token differs by >= 2
+    characters across replicas (cross-replica edit distance >= 2 x
+    tokens > the q_dedup_editdist band)."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_probe
+
+    # redirect the work dir so the test never touches the real cache
+    old_work = scale_probe.WORK
+    scale_probe.WORK = str(tmp_path)
+    try:
+        d = scale_probe.build_sparse_replica("/root/testdata/sf0.001", 3)
+    finally:
+        scale_probe.WORK = old_work
+    con = duckdb.connect()
+    n_base = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    n_rep, n_ids = con.execute(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM '{d}/documents.parquet'"
+    ).fetchone()
+    assert n_rep == 3 * n_base == n_ids
+    # replica id recovered from the doc_id offset; token sets disjoint
+    overlap = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id // {scale_probe._OFF} AS rep,
+                 unnest(string_split(text, ' ')) AS w
+          FROM '{d}/documents.parquet'
+        )
+        SELECT count(*) FROM (
+          SELECT w FROM tok WHERE w <> ''
+          GROUP BY w HAVING count(DISTINCT rep) > 1
+        )
+        """
+    ).fetchone()[0]
+    assert overlap == 0, f"{overlap} tokens shared across replicas"
+    # n_chars metadata tracks the rewritten text
+    bad_len = con.execute(
+        f"SELECT count(*) FROM '{d}/documents.parquet' "
+        "WHERE n_chars <> len(text)"
+    ).fetchone()[0]
+    assert bad_len == 0
