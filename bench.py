@@ -125,6 +125,16 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def emit(compact: dict, detail: dict) -> None:
+    """Print the driver-contract output: per-rep detail to STDERR, the
+    ONE compact JSON line to STDOUT — LAST, so a byte-limited tail
+    capture always contains it whole (BENCH_r06.json recorded
+    `parsed: null` when verbose blobs pushed the metric out of the
+    window). tests/test_registry.py pins the shape."""
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(compact, separators=(",", ":")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -197,35 +207,22 @@ def main() -> None:
         if len(reps) > 1:
             extended_reps[name] = reps
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Per-rep detail goes to STDERR: the driver's tail capture is
-    # byte-limited and BENCH_r06.json recorded `parsed: null` when the
-    # verbose blobs pushed the headline metric out of the window.
-    print(
-        json.dumps(
-            {
-                "detail": "per_rep",
-                "reps": rep_totals,
-                "queries_per_rep": per_rep,
-                "extended_reps": extended_reps,
-            }
-        ),
-        file=sys.stderr,
-    )
-    # THE one-JSON-line driver contract — printed LAST and kept
-    # compact so the tail window always contains it whole.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended": extended,
-                "extended_total_sec": round(sum(extended.values()), 3),
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    emit(
+        compact={
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended": extended,
+            "extended_total_sec": round(sum(extended.values()), 3),
+            "sf": sf_val,
+        },
+        detail={
+            "detail": "per_rep",
+            "reps": rep_totals,
+            "queries_per_rep": per_rep,
+            "extended_reps": extended_reps,
+        },
     )
 
 

@@ -237,3 +237,35 @@ def test_sparse_replica_keeps_pair_output_k_linear(tmp_path):
         "WHERE n_chars <> len(text)"
     ).fetchone()[0]
     assert bad_len == 0
+
+
+def test_bench_emission_is_compact_contract_line_last(capsys):
+    """BENCH_r06.json recorded `parsed: null` because verbose per-rep
+    blobs pushed the headline metric past the driver's byte-limited
+    tail capture. Pin the fix: bench.emit prints detail to stderr and
+    the compact contract object as stdout's LAST line — parseable,
+    with the required fields, and small enough to always fit a tail
+    window."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import emit
+
+    compact = {
+        "metric": "headline_total_sec",
+        "value": 1.5,
+        "unit": "sec",
+        "queries": {f"q_{i}": 0.1 for i in range(15)},
+        "extended": {f"e_{i}": 1.0 for i in range(12)},
+        "extended_total_sec": 12.0,
+        "sf": 0.1,
+    }
+    emit(compact, detail={"detail": "per_rep", "reps": [1.5] * 3})
+    cap = capsys.readouterr()
+    last = cap.out.strip().splitlines()[-1]
+    parsed = json.loads(last)
+    assert parsed["metric"] == "headline_total_sec"
+    assert {"value", "unit", "queries", "sf"} <= set(parsed)
+    assert len(last) < 4096, "contract line too large for a tail window"
+    assert "per_rep" in cap.err and "per_rep" not in cap.out
