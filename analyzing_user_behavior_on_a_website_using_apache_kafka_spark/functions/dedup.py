@@ -1117,18 +1117,29 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "nn_id"])
     )
-    pairs = half.unionByName(
-        half.select(
-            F.col("nn_id").alias("doc_id"), F.col("doc_id").alias("nn_id")
-        )
-    )
+    # Score each UNORDERED pair once, then symmetrize the SCORED rows:
+    # cosine is symmetric, and the scoring stage dominates the plan
+    # (r7 per-stage profile: 29 s CPU of higher-order array math at
+    # sf0.1) — symmetrizing the pair list BEFORE scoring, as through
+    # r6, computed every cosine twice and doubled both embedding joins.
     emb_a = v.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ea"))
     emb_b = v.select(F.col("vec_id").alias("nn_id"), F.col("emb").alias("eb"))
-    scored = (
-        pairs.join(emb_a, "doc_id")
+    # persisted: the union below consumes it twice, and the cosine's
+    # higher-order lineage defeats exchange reuse (same pattern as
+    # every persist in this module) — without it each branch would
+    # re-join and re-score, giving back the full 2x
+    scored_half = (
+        half.join(emb_a, "doc_id")
         .join(emb_b, "nn_id")
         .select(
             "doc_id", "nn_id", cosine(F.col("ea"), F.col("eb")).alias("sim")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = scored_half.unionByName(
+        scored_half.select(
+            F.col("nn_id").alias("doc_id"),
+            F.col("doc_id").alias("nn_id"),
+            "sim",
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
