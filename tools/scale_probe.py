@@ -78,6 +78,13 @@ PROBES = {
     # r6 addition, with the funnel's promotion to the bench headline:
     # per-user conditional-min windows after one shuffle on user_id
     "q_funnel_conversion": "per-user ordered-step windows, user-partitioned",
+    # r7 additions — the streaming jobs run on replicas too (the id
+    # offset multiplies users/events while the time range is fixed), so
+    # the state-scaling claims get measured rows: tumbling state is
+    # O(windows) (time-bounded — should be ~flat), session-window state
+    # and output are O(users) (grows with the replica factor)
+    "q_stream_tumbling": "availableNow tumbling agg; state O(windows)",
+    "q_stream_session": "session windows; state and output O(users)",
 }
 
 # Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
