@@ -84,7 +84,7 @@ PROBES = {
     # O(windows) (time-bounded — should be ~flat), session-window state
     # and output are O(users) (grows with the replica factor)
     "q_stream_tumbling": "availableNow tumbling agg; state O(windows)",
-    "q_stream_session": "session windows; state and output O(users)",
+    "q_stream_session": "session windows; O(users) output via complete-mode memory sink (driver-side — see SCALE.md r7 attribution)",
 }
 
 # Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
