@@ -144,7 +144,7 @@ _REDUCING_NODES = ("GlobalLimit ",)
 # named e.g. `k` would silently legalize a fact-table broadcast hint
 # through this allowlist. When adding a derived key, prefer a prefixed
 # name (pq_m-style) unless it must match an existing fixture column;
-# tests/test_plan_guard.py::test_bounded_group_keys_stay_constant_card
+# tests/test_plans.py::test_bounded_group_keys_stay_constant_card
 # cross-checks the fixture-enum entries against the actual data.
 _BOUNDED_GROUP_KEYS = frozenset(
     {

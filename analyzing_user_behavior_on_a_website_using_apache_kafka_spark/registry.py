@@ -54,80 +54,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-7 window (VERDICT r6 items 1-4).  Composition:
-    #   (a) the 3 keys whose served plans CHANGE this round — the
-    #       queued shared-subtree persists (lambda lineage defeats
-    #       exchange reuse; the fix minhash/jaccard/containment got
-    #       in r6): q_dedup_embed_cosine FIRST (it is additionally
-    #       the only key serving an r6 UDF change — the empty-batch
-    #       guard in the shared _lsh_bucket_ids — without a fresh
-    #       driver row), then q_dedup_simhash (20-scan signature
-    #       recompute) and q_dedup_editdist (20-scan gram/freq/sort
-    #       recompute, was r5-checked);
-    #   (b) ALL 43 remaining keys last driver-checked in r4 — at
-    #       the 3-round staleness bound after this round runs;
-    #   (c) fillers to 50 from the r5-checked set, chosen to keep
-    #       every family pinned in-window (test_registry):
-    #       q_udaf_grouped (sole q_uda* key), q_sim_pq_adc,
-    #       q_text_tokens, q_text_vocab — re-checking r5 keys also
-    #       thins the r8 backlog (43 r5 keys remain, <=50 window).
-    # Steady state: 142 keys / 50-key windows — the feasible bound
-    # is <=3 rounds, enforced by tools/rotation_check.py.
-    # --- (a) changed in r7: persists land with their keys ---
-    "q_dedup_embed_cosine",
-    "q_dedup_simhash",
-    "q_dedup_editdist",
-    # --- (b) the 43 remaining r4-checked keys ---
-    "q_agg_count_by",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_sum_avg",
-    "q_array_funcs",
-    "q_date_funcs",
-    "q_event_dwell",
-    "q_filter_eq",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_range",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_salted",
-    "q_join_theta_range",
-    "q_json_funcs",
-    "q_math_funcs",
-    "q_multimodal_cols",
-    "q_pivot",
-    "q_project_derive",
-    "q_sample_hash",
-    "q_scan_project",
-    "q_sessionize_batch",
-    "q_sink_append",
-    "q_sink_partitioned",
-    "q_sort_limit",
-    "q_source_csv",
-    "q_source_json",
-    "q_sql_report",
-    "q_str_funcs",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    "q_stream_stream_left",
-    "q_stream_watermark_late",
-    "q_subquery_scalar",
-    "q_udf_pandas",
-    "q_win_lag_lead",
-    # --- (c) family pins / r8-backlog thinning (r5-checked) ---
+    # Round-8 window, produced by `python tools/propose_window.py` (the
+    # by-hand composition rules of r4-r7, now encoded + unit-tested):
+    # all 43 keys last checked in r5 are at the staleness bound after
+    # this round runs; 5 oldest r6 fillers thin the r9 backlog; family
+    # pins keep q_uda*/q_sim_* represented.  Any key whose served plan
+    # changes in r8 must be promoted to the FRONT (re-run the proposer
+    # with --changed).  Steady state: 142 keys / 50-key windows, <=3
+    # round staleness, enforced by tools/rotation_check.py.
+    # --- at staleness bound (last r5) ---
+    "q_agg_approx_distinct",
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_agg_percentile",
+    "q_agg_share",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_substring",
+    "q_embed_pq",
+    "q_event_anomaly",
+    "q_event_rfm",
+    "q_except",
+    "q_filter_null",
+    "q_join_cross",
+    "q_join_semi",
+    "q_map_funcs",
+    "q_multimodal_framedup",
+    "q_profile_columns",
+    "q_sample_temperature",
+    "q_sink_foreachbatch",
+    "q_sort_multikey",
+    "q_source_binaryfile",
+    "q_source_orc",
+    "q_source_xml",
+    "q_split_train_test",
+    "q_sql_join_having",
+    "q_stream_kafka_source",
+    "q_stream_sliding",
+    "q_text_langid",
+    "q_text_quality",
+    "q_time_rollup",
+    "q_topk_per_group",
+    "q_udf_scalar",
+    "q_udtf_python",
+    "q_union_all",
+    "q_union_distinct",
+    "q_unpivot",
+    "q_win_distribution",
+    "q_win_range_frame",
+    "q_win_rank",
+    "q_win_running",
+    # --- backlog thinning (last r6) ---
+    "q_agg_approx_quantile",
+    "q_agg_sketch_merge",
+    "q_agg_stats",
+    "q_cohort_retention",
+    "q_dedup_containment",
+    # --- family pin (q_uda) ---
     "q_udaf_grouped",
-    "q_sim_pq_adc",
-    "q_text_tokens",
-    "q_text_vocab",
-    # r8 plan: the 43 remaining r5-checked keys lead the next
-    # window, plus any key whose served plan changes in r8.
+    # --- family pin (q_sim_) ---
+    "q_sim_ann",
 )
 
 

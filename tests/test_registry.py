@@ -187,6 +187,34 @@ def test_window_proposer_satisfies_rotation_rules():
     assert any("exceed" in w for w in warnings)
 
 
+def test_window_proposer_pin_never_evicts_sole_family_rep():
+    """ADVICE r7: pinning family B must not evict the filler that is
+    the SOLE in-window representative of an already-satisfied family A.
+    Scenario: q_sim_x is the youngest filler AND its family's only
+    in-window key; the q_uda pin must evict an q_agg filler instead."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from propose_window import propose
+
+    names = [f"q_agg_{i:03d}" for i in range(50)] + [
+        "q_sim_x",
+        "q_udaf_grouped",
+    ]
+    last = {n: 5 for n in names if n.startswith("q_agg_")}
+    last["q_sim_x"] = 6
+    last["q_udaf_grouped"] = 6
+    picked, warnings = propose(
+        names, last, latest_round=6, changed=[], window=51
+    )
+    assert not warnings, warnings
+    keys = [k for k, _ in picked]
+    # both single-member families survive; an agg filler was evicted
+    assert "q_sim_x" in keys
+    assert "q_udaf_grouped" in keys
+    assert sum(1 for k in keys if k.startswith("q_agg_")) == 49
+
+
 def test_sparse_replica_keeps_pair_output_k_linear(tmp_path):
     """tools/scale_probe.py --pairs rests on one property: the sparse
     replica's per-replica token rewrite keeps TRUE pair output

@@ -108,12 +108,22 @@ def propose(
         )
         if member is None:
             continue  # family not in registry at all
-        # evict the youngest filler to make room
+        # evict the youngest filler to make room — but never one that is
+        # the SOLE in-window representative of its own family, or the pin
+        # for B would silently strip A's representation (ADVICE r7)
+        def _sole_rep(key: str) -> bool:
+            return any(
+                key.startswith(f)
+                and sum(1 for t in taken if t.startswith(f)) == 1
+                for f in FAMILIES
+            )
+
         evict = next(
             (
                 (key, why)
                 for key, why in reversed(picked)
                 if why.startswith("backlog thinning")
+                and not _sole_rep(key)
             ),
             None,
         )
@@ -125,6 +135,14 @@ def propose(
         picked.remove(evict)
         taken.discard(evict[0])
         take(member, f"family pin ({fam})")
+    # belt-and-braces: re-check every family after all pins/evictions
+    for fam in FAMILIES:
+        if any(k.startswith(fam) for k in names) and not any(
+            k.startswith(fam) for k in taken
+        ):
+            warnings.append(
+                f"family {fam} left unrepresented after pin loop"
+            )
     return picked, warnings
 
 
