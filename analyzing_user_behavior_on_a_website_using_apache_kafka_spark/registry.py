@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     # changes in r8 must be promoted to the FRONT (re-run the proposer
     # with --changed).  Steady state: 142 keys / 50-key windows, <=3
     # round staleness, enforced by tools/rotation_check.py.
+    # --- changed this round ---
+    "q_dedup_clusters",
     # --- at staleness bound (last r5) ---
     "q_agg_approx_distinct",
     "q_agg_collect",
@@ -70,7 +72,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_filtered",
     "q_agg_percentile",
     "q_agg_share",
-    "q_dedup_clusters",
     "q_dedup_exact",
     "q_dedup_substring",
     "q_embed_pq",
@@ -173,7 +174,7 @@ def _ensure_loaded() -> None:
     # and is environment-blocked: pyspark 4.1.2's TwS state-server
     # protocol imports google.protobuf, absent from this container
     # (verified: the driver-side schema worker crashes on the import;
-    # installs are off-limits). Re-probed r7 (2026-08-14):
+    # installs are off-limits). Re-probed r7 and r8 (2026-08-14):
     #   python -c "import google.protobuf"
     #     -> ModuleNotFoundError: No module named 'google'
     #   (grpc likewise absent) — still blocked. Revisit each round;
