@@ -212,8 +212,101 @@ def build_sparse_replica(base_sf: str, k: int) -> str:
     return _finish_replica(tmp, out)
 
 
+def run_cc_probe(ks: list[int]) -> None:
+    """--cc mode: measure connected_components scaling DIRECTLY on
+    synthetic edge sets (r8, with the per-partition contraction pass).
+    No replica files — edges come from spark.range, so the probe
+    isolates the CC operator from the pair-join that usually feeds it.
+
+    Two shapes, both with K-linear edge counts:
+      - blob_dense: disjoint 32-cliques (~1.55 edges/node), ids
+        contiguous → the friendly case: partition-local contraction
+        collapses nearly everything before the first shuffle;
+      - path_scattered: 1000-node paths, edges round-robin-scattered
+        across partitions → the hostile case: contraction merges
+        little, the star rounds do the work across ~log rounds (this
+        is the high-diameter shape a web-crawl dup chain has).
+    Exponent fitted between the two largest Ks, min of 2 reps.
+    """
+    from pyspark.sql import functions as F
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        connected_components,
+    )
+
+    base_n = int(os.environ.get("SCALE_PROBE_CC_BASE", "100000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scale_probe_cc", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def blob_edges(n: int):
+        nodes = spark.range(n).select(
+            (F.col("id") / 32).cast("long").alias("blk"),
+            F.col("id"),
+        )
+        return (
+            nodes.alias("a")
+            .join(nodes.alias("b"), "blk")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("u"), F.col("b.id").alias("v")
+            )
+        )
+
+    def path_edges(n: int):
+        return (
+            spark.range(n - 1)
+            .where((F.col("id") + 1) % 1000 != 0)
+            .select(
+                F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+            )
+            .repartition(cpus)  # scatter: adjacent edges land apart
+        )
+
+    cases = {"blob_dense": blob_edges, "path_scattered": path_edges}
+    times: dict[str, dict[int, float]] = {c: {} for c in cases}
+    for k in sorted(ks):
+        n = base_n * k
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        for case, make in cases.items():
+            edges = make(n).localCheckpoint()  # edge-gen not timed
+            n_e = edges.count()
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                connected_components(nodes, edges).count()
+                reps.append(time.time() - t0)
+            times[case][k] = round(min(reps), 2)
+            print(
+                f"# cc {case} {k}x: nodes={n} edges={n_e} "
+                f"t={times[case][k]:.2f}s",
+                file=sys.stderr,
+            )
+    kmax = max(ks)
+    k2 = sorted(ks)[-2] if len(ks) > 1 else min(ks)
+    print("\n| case | " + " | ".join(f"{k}× (s)" for k in ks)
+          + " | exponent | shape |")
+    print("|---|" + "---|" * (len(ks) + 2))
+    notes = {
+        "blob_dense": "32-cliques, contiguous — contraction collapses "
+                      "before first shuffle",
+        "path_scattered": "1000-node paths, scattered — star rounds "
+                          "carry the work",
+    }
+    for case, ts in times.items():
+        ta, tb = ts[k2], ts[kmax]
+        exp = (math.log(tb / ta) / math.log(kmax / k2)
+               if ta > 0 and kmax > k2 else float("nan"))
+        row = " | ".join(f"{ts[k]:.2f}" for k in ks)
+        print(f"| cc_{case} | {row} | {exp:.2f} | {notes[case]} |")
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--cc" in args:
+        args.remove("--cc")
+        run_cc_probe([int(a) for a in args] or [1, 10, 100])
+        return
     pairs_mode = "--pairs" in args
     if pairs_mode:
         args.remove("--pairs")
