@@ -1681,68 +1681,156 @@ def qgram_blocked_editdist_join(
     DataFrame — separated from the fixture loader so property tests can
     drive it with adversarial corpora (see q_dedup_editdist for the
     losslessness argument)."""
-    p = max_dist * q + 1  # prefix length: D·q + 1 rarest distinct grams
+    p = max_dist * q + 1  # classic bound: D·q + 1 rarest distinct grams
+    # The gram build below is compute-heavy per doc (gram hashing +
+    # sort + location-aware prefix), and a small single-file corpus
+    # arrives as ONE input partition — which would serialize all of it
+    # on one core. Spread it only when the scan's parallelism is
+    # actually low: on a real multi-split 100 TB scan this is a no-op
+    # (no shuffle added).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     base = docs.select(
         "doc_id", "text", F.length("text").alias("ln")
     )
-    # positional q-grams → distinct gram set per doc. substring() takes
-    # only literal positions, so the gram array is built with a
-    # higher-order transform over sequence(1, ln−q+1). Grams are
-    # immediately collapsed to xxhash64 — every downstream exchange
-    # (frequency agg, rarity-order rebuild, prefix self-join) compares
-    # and sorts 8-byte longs instead of q-char strings. Measured at
-    # sf0.1: 1.5× faster end-to-end (10.6 → 6.8 s warm); compressed
-    # shuffle BYTES grow slightly (47 vs 42 MB — this fixture's grams
-    # come from a tiny vocabulary and compress better than high-entropy
-    # hashes), the win is join/sort comparison cost, which is what
-    # dominates at scale. Lossless: the prefix-filter theorem
-    # needs any global total order on set elements, and hashing only
-    # MERGES elements (a collision makes two grams one element, which
-    # grows intersections and shrinks the needed prefix — extra
-    # candidates at worst, removed by the exact levenshtein verify).
-    dg = base.select(
-        "doc_id",
-        "ln",
-        F.explode(
-            F.array_distinct(
+    # positional q-grams → distinct gram set per doc WITH the min
+    # position each gram first occurs at (the location-aware prefix
+    # below needs it). substring() takes only literal positions, so the
+    # gram array is built with a higher-order transform over
+    # sequence(1, ln−q+1). Grams are immediately collapsed to xxhash64
+    # — every downstream exchange (frequency agg, rarity-order rebuild,
+    # prefix self-join) compares and sorts 8-byte longs instead of
+    # q-char strings (measured 1.5× end-to-end in r5). Lossless: the
+    # prefix-filter theorem needs any global total order on set
+    # elements, and hashing only MERGES elements (a collision makes
+    # two grams one element with the min of their positions — harder
+    # to destroy, so intersections grow and the computed edit lower
+    # bound only drops — extra candidates at worst, removed by the
+    # exact levenshtein verify).
+    # distinct (gram, min-position) per doc computed MAP-SIDE: sort the
+    # positional gram structs (lexicographic (g, mp) → each gram run
+    # leads with its min position) and keep each run's head — no
+    # shuffle, unlike a posexplode + groupBy(doc, g) dedup (measured
+    # +3.4 s at sf0.1 for the shuffle variant).
+    dg = (
+        base.withColumn(
+            "sgp",
+            F.expr(
+                f"array_sort(transform("
+                f"sequence(1, greatest(1, ln - {q} + 1)),"
+                f" i -> named_struct("
+                f"'g', xxhash64(substring(text, i, {q})),"
+                f" 'mp', CAST(i - 1 AS INT))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "ln",
+            F.explode(
+                # lambda index i is 0-based; element_at is 1-based, so
+                # element_at(sgp, i) is the PREVIOUS element
                 F.expr(
-                    f"transform(sequence(1, greatest(1, ln - {q} + 1)),"
-                    f" i -> xxhash64(substring(text, i, {q})))"
+                    "filter(sgp, (x, i) -> "
+                    "i = 0 OR x.g != element_at(sgp, i).g)"
                 )
-            )
-        ).alias("g"),
+            ).alias("gm"),
+        )
+        .select(
+            "doc_id",
+            "ln",
+            F.col("gm.g").alias("g"),
+            F.col("gm.mp").alias("mp"),
+        )
     )
     # global document frequency per gram — the rarity order. NOT
     # broadcast: char-gram vocabularies scale with the corpus.
     freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    # PERSIST the rarity-ordered per-doc gram relation (landed r7, with
-    # q_dedup_editdist in the driver window): it feeds the prefix
-    # self-join (both sides) AND the short-doc fallback below, and the
-    # lambda-bearing lineage defeats Spark's exchange reuse (see
-    # prefix_filtered_jaccard_join) — without the persist the gram
-    # explode + frequency aggregate + per-doc sort chain executes three
-    # times (20 parquet scans audited at r6 end). MEMORY_AND_DISK: one
-    # slim row per doc, spills rather than OOMs. Cache ownership is
-    # session-lifetime by design (see _CACHE_OWNERSHIP note at module
-    # top); at 100 TB this materialization is the staged table a
-    # production pipeline would write anyway.
     from pyspark import StorageLevel
 
     ordered = (
         dg.join(freq, "g")
         .groupBy("doc_id", "ln")
         .agg(
-            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("gf")
+            F.array_sort(
+                F.collect_list(F.struct("df", "g", "mp"))
+            ).alias("gf")
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    prefixes = ordered.select(
-        "doc_id",
-        "ln",
-        F.explode(
-            F.slice(
-                F.transform("gf", lambda s: s["g"]), F.lit(1), F.lit(p)
-            )
-        ).alias("g"),
+    )
+    # Location-aware prefix shortening (Ed-Join, Xiao/Wang/Lin VLDB'08
+    # — "location-based mismatch filtering"): the classic prefix takes
+    # the D·q+1 rarest grams, pessimistically assuming every edit
+    # destroys q of them. But an edit at char position c only destroys
+    # grams STARTING in [c−q+1, c], so the true number of edits needed
+    # to destroy a gram set is the greedy length-q interval cover of
+    # their positions. Per doc: walk the rarity order accumulating
+    # min-positions until that cover exceeds D — that (usually much
+    # shorter) prefix already guarantees any within-D partner shares a
+    # gram with it. Using each gram's MIN position keeps it lossless
+    # (destroying a gram must cover ALL its occurrences, in particular
+    # the first — the computed cover is a lower bound on edits), and
+    # the classic bound caps the scan: at i = D·q+1 grams the cover
+    # provably exceeds D (distinct grams have distinct start
+    # positions; one length-q interval covers ≤ q of them), so `covs`
+    # is evaluated on at most D·q+1 slices — O((D·q)² log) per doc,
+    # map-only. Docs whose FULL gram set has cover ≤ D get no valid
+    # prefix: they emit their whole gram list into the join (the
+    # valid↔short case is then caught through the VALID side's prefix
+    # guarantee) and additionally pair among themselves via the
+    # length-binned fallback below (short↔short may share no gram at
+    # all). Measured on the sf0.1 fixture: prefix avg 13.6 grams (was
+    # a flat 41), candidates 292k → 217k — modest HERE because the
+    # fixture's 985-gram vocabulary makes similar docs share their
+    # rarest grams; on a real corpus (large gram vocabulary, rare
+    # grams actually rare) the shortening compounds with rarity and
+    # the candidate cut is the dominant verify-cost lever (Ed-Join's
+    # published result).
+    covs_sql = (
+        f"transform(sequence(1, least(size(gf), {p})), i -> "
+        f"aggregate(array_sort(transform(slice(gf, 1, i), s -> s.mp)), "
+        f"named_struct('cnt', 0, 'last', {-q}), "
+        f"(acc, pp) -> IF(pp > acc.last, "
+        f"named_struct('cnt', acc.cnt + 1, 'last', pp + {q} - 1), "
+        f"acc), acc -> acc.cnt))"
+    )
+    # PERSIST the slim per-doc prefix relation (the r7 persist moved
+    # here in r8 — this is now the shared subtree: it feeds BOTH sides
+    # of the prefix self-join and the short-doc fallback, and the
+    # lambda-bearing lineage defeats Spark's exchange reuse, see
+    # prefix_filtered_jaccard_join). covs/plen are computed exactly
+    # once per doc inside this one projection; only the sliced prefix
+    # array + the fallback flag survive into the cache (gf and covs
+    # are dropped — a few dozen longs per doc). MEMORY_AND_DISK:
+    # spills rather than OOMs; cache ownership is session-lifetime by
+    # design (_CACHE_OWNERSHIP note at module top).
+    withpre = (
+        ordered.withColumn("covs", F.expr(covs_sql))
+        .withColumn(
+            # covs is nondecreasing (adding a position can't shrink
+            # the cover), so the first index with cover > D is
+            # count(<=D)+1; if all entries are <= D the doc has no
+            # valid prefix and plen caps at the full list size
+            "plen",
+            F.least(
+                F.size(F.expr(f"filter(covs, c -> c <= {max_dist})"))
+                + F.lit(1),
+                F.size("gf"),
+            ),
+        )
+        .select(
+            "doc_id",
+            "ln",
+            F.expr("slice(transform(gf, s -> s.g), 1, plen)").alias(
+                "pre"
+            ),
+            (F.element_at("covs", -1) <= F.lit(max_dist)).alias(
+                "is_short"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefixes = withpre.select(
+        "doc_id", "ln", F.explode("pre").alias("g")
     )
     cand = (
         prefixes.alias("pa")
@@ -1760,12 +1848,14 @@ def qgram_blocked_editdist_join(
             F.col("pb.doc_id").alias("doc_b"),
         )
     )
-    # Short-doc fallback: the q-gram guarantee needs max(|Ga|,|Gb|) >
-    # D·q distinct grams; pairs where BOTH sides are below that line
-    # self-join via adjacent length bins (equi join on the bin, exact
-    # length re-check — never a BNLJ). Bin width = max_dist, so a
-    # qualifying pair is at most one bin apart.
-    short = ordered.filter(F.size("gf") <= F.lit(max_dist * q)).select(
+    # Short-doc fallback: a doc whose FULL gram set has position cover
+    # ≤ D can be edit-stripped of every gram, so the prefix guarantee
+    # gives it nothing against another such doc — those pairs self-join
+    # via adjacent length bins (equi join on the bin, exact length
+    # re-check — never a BNLJ). Bin width = max_dist, so a qualifying
+    # pair is at most one bin apart. (valid↔short pairs are already
+    # caught by the prefix join through the valid side's guarantee.)
+    short = withpre.filter("is_short").select(
         "doc_id", "ln", F.floor(F.col("ln") / F.lit(max_dist)).alias("b")
     )
     s_l = short.select(

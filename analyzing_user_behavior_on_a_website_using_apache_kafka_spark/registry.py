@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     # round staleness, enforced by tools/rotation_check.py.
     # --- changed this round ---
     "q_dedup_clusters",
+    "q_dedup_editdist",
     # --- at staleness bound (last r5) ---
     "q_agg_approx_distinct",
     "q_agg_collect",
@@ -112,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_sketch_merge",
     "q_agg_stats",
     "q_cohort_retention",
-    "q_dedup_containment",
     # --- family pin (q_uda) ---
     "q_udaf_grouped",
     # --- family pin (q_sim_) ---
