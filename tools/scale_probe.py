@@ -85,6 +85,11 @@ PROBES = {
     # and output are O(users) (grows with the replica factor)
     "q_stream_tumbling": "availableNow tumbling agg; state O(windows)",
     "q_stream_session": "session windows; O(users) output via complete-mode memory sink (driver-side — see SCALE.md r7 attribution)",
+    # r8: the curation capstone (quality gate → exact dedup → split in
+    # one plan). Exact-copy replicas are FINE here: the md5 groupBy
+    # collapses every K-way copy group to one row, so output stays
+    # base-sized and the exponent measures the gate+dedup+split plan.
+    "q_pipeline_curate": "gate → md5-groupBy dedup → hash split, one plan",
 }
 
 # Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
@@ -110,6 +115,11 @@ PAIR_PROBES = {
     "q_dedup_editdist": "q-gram prefix filter + banded verify",
     "q_dedup_near": "MinHash banded bucket join",
     "q_dedup_simhash": "4x15-bit band join (fixed band space)",
+    # r8: clusters consumes the jaccard pair set (K-linear on sparse
+    # replicas) and runs contraction + star rounds on top — the
+    # measured exponent is the full pairs→components pipeline, which
+    # is what a dedup consumer actually pays.
+    "q_dedup_clusters": "pair build + CC (contraction + star rounds)",
 }
 
 
