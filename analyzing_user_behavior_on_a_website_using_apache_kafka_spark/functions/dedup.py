@@ -1630,18 +1630,21 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     this sees single-character typos, OCR noise and byte-level edits
     that leave the token multiset almost intact).
 
-    Candidate generation is the classic lossless q-gram filter
-    (Gravano et al., VLDB'01 "Approximate String Joins in a Database
-    (Almost) for Free"), run as a prefix-filtered equi join: one edit
-    destroys at most q of a string's distinct q-grams, so ed(a,b) ≤ D
-    implies |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − D·q — and therefore the D·q+1
-    globally-rarest grams of each side must intersect (prefix-filter
-    theorem, same machinery as prefix_filtered_jaccard_join). The
-    guarantee needs max(|Ga|,|Gb|) > D·q, so pairs where BOTH docs have
-    ≤ D·q distinct grams fall back to a length-binned equi self-join of
-    that short-doc subset (adjacent-bin trick of q_join_range_binned —
-    no BNLJ). Survivors verify with the JVM banded
-    ``levenshtein(a, b, threshold)`` — O(len·D), not O(len²) per pair.
+    Candidate generation is a lossless q-gram prefix filter in the
+    Gravano (VLDB'01) family, tightened r8 with Ed-Join's
+    location-based shortening (Xiao/Wang/Lin, VLDB'08): instead of the
+    classic D·q+1 rarest grams (which assumes every edit destroys q of
+    them), each doc's prefix is the SHORTEST rarity-ordered gram list
+    whose min-positions need more than D length-q interval edits to
+    cover (greedy cover, a per-doc JVM lambda capped by the classic
+    bound). Any pair within distance D must share a prefix gram — the
+    case analysis (valid↔valid, valid↔short, short↔short) is proved in
+    qgram_blocked_editdist_join. Docs whose FULL gram set is coverable
+    with ≤ D edits get no guarantee from prefixes and fall back to a
+    length-binned equi self-join among themselves (adjacent-bin trick
+    of q_join_range_binned — no BNLJ). Survivors verify with the JVM
+    banded ``levenshtein(a, b, threshold)`` — O(len·D), not O(len²)
+    per pair.
 
     Fixture margin: at sf0.01 the corpus has 24 pairs at distance 4 and
     1 at 8, then NOTHING until 38 — the threshold 10 sits mid-gap, so
@@ -1662,11 +1665,14 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary → joined unhinted (AQE picks the strategy; do NOT
     broadcast it blindly — char-gram vocabularies are far larger than
     word vocabularies). Candidate volume concentrates on rare grams,
-    which is the point of the frequency ordering. The short-doc
-    fallback is quadratic ONLY within docs shorter than ~(D+1)·q chars
-    — a min-length corpus policy (every curation pipeline has one)
-    bounds it; for a genuinely short-text corpus, shrink q so the
-    guarantee covers the length floor.
+    which is the point of the frequency ordering, and the location
+    filter shortens prefixes further the more spread a doc's rare
+    grams are. The short-doc fallback is quadratic ONLY within docs
+    whose whole gram set is edit-coverable (roughly shorter than
+    ~(D+1)·q chars) — a min-length corpus policy (every curation
+    pipeline has one) bounds it; for a genuinely short-text corpus,
+    shrink q so the guarantee covers the length floor. Sparse-replica
+    exponent 0.79 at 50 k docs (SCALE.md r8; was 0.98 pre-shortening).
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") == F.octet_length("text")
