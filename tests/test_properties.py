@@ -279,6 +279,63 @@ def test_connected_components_high_diameter_path(pb_spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_scattered_partitions(pb_spark):
+    """r8 regression pin for _forest_contract: the per-partition
+    contraction must stay lossless under ADVERSARIAL partitioning.
+    Scattering a path graph's edges round-robin across 37 partitions
+    puts adjacent edges in different tasks, so each local forest sees
+    mostly-disjoint fragments and the star rounds must stitch them —
+    the hostile case for any partition-local shortcut."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        connected_components,
+    )
+
+    spark = pb_spark
+    n = 5_000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    ).repartition(37)
+    got = {
+        r.doc_id: r.label
+        for r in connected_components(nodes, edges, max_iters=30).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_editdist_location_prefix_boundary(pb_spark):
+    """r8 regression pin for the Ed-Join location-aware prefix: on a
+    long doc with spread-out unique grams the shortened prefix engages
+    (far below the classic D·q+1), and pairs at EXACTLY the threshold
+    must still be found while one-past-threshold pairs must not. A
+    shared-no-grams short pair pins the fallback path alongside."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        qgram_blocked_editdist_join,
+    )
+
+    spark = pb_spark
+    base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUV"
+    at_threshold = list(base)
+    for pos in (3, 17, 31, 45):  # 4 spread substitutions → ed == 4
+        at_threshold[pos] = "#"
+    past_threshold = list(base)
+    for pos in (3, 12, 21, 35, 49):  # 5 substitutions → ed == 5
+        past_threshold[pos] = "%"
+    docs = [
+        (0, base),
+        (1, "".join(at_threshold)),
+        (2, "".join(past_threshold)),
+        (3, "zzzz"),  # short pair: shares no gram with doc 4
+        (4, "yyyy"),  # but ed(zzzz, yyyy) = 4 <= D -> fallback must find it
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in qgram_blocked_editdist_join(df, max_dist=4, q=4).collect()
+    }
+    assert got == {(0, 1): 4, (3, 4): 4}, got
+
+
 @settings(
     max_examples=12,
     deadline=None,
