@@ -825,7 +825,7 @@ def connected_components(
 
     # Map-only spanning-forest contraction FIRST (see _forest_contract):
     # on the dense dup graphs this serves, it shrinks the edge set by
-    # orders of magnitude (8.9M → ~40k at sf0.1) before anything
+    # orders of magnitude (8.9M → 149k at sf0.1) before anything
     # shuffles — the canonical distinct and the first star round then
     # run on forests, not the raw pair set (r8; first round was the
     # dominant CC cost, 5.1 s of 7.5 s).
@@ -1688,17 +1688,24 @@ def qgram_blocked_editdist_join(
     drive it with adversarial corpora (see q_dedup_editdist for the
     losslessness argument)."""
     p = max_dist * q + 1  # classic bound: D·q + 1 rarest distinct grams
+    base = docs.select(
+        "doc_id", "text", F.length("text").alias("ln")
+    )
     # The gram build below is compute-heavy per doc (gram hashing +
     # sort + location-aware prefix), and a small single-file corpus
     # arrives as ONE input partition — which would serialize all of it
     # on one core. Spread it only when the scan's parallelism is
     # actually low: on a real multi-split 100 TB scan this is a no-op
-    # (no shuffle added).
+    # (no shuffle added). Only the GRAM-BUILD input is repartitioned —
+    # the ta/tb verify legs below read `base` directly, so they keep
+    # the cheap unshuffled scan (review r8: repartitioning `docs`
+    # itself added two full-corpus text exchanges feeding what AQE
+    # immediately broadcast anyway).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
-    base = docs.select(
-        "doc_id", "text", F.length("text").alias("ln")
+    gram_in = (
+        base.repartition(par, "doc_id")
+        if docs.rdd.getNumPartitions() < par
+        else base
     )
     # positional q-grams → distinct gram set per doc WITH the min
     # position each gram first occurs at (the location-aware prefix
@@ -1720,7 +1727,7 @@ def qgram_blocked_editdist_join(
     # shuffle, unlike a posexplode + groupBy(doc, g) dedup (measured
     # +3.4 s at sf0.1 for the shuffle variant).
     dg = (
-        base.withColumn(
+        gram_in.withColumn(
             "sgp",
             F.expr(
                 f"array_sort(transform("

@@ -57,7 +57,8 @@ _PRIORITY: tuple[str, ...] = (
     # Round-8 window, produced by `python tools/propose_window.py` (the
     # by-hand composition rules of r4-r7, now encoded + unit-tested):
     # all 43 keys last checked in r5 are at the staleness bound after
-    # this round runs; 5 oldest r6 fillers thin the r9 backlog; family
+    # this round runs; 4 oldest r6 fillers thin the r9 backlog (6 were
+    # taken, 2 evicted by the family pins below); family
     # pins keep q_uda*/q_sim_* represented.  Any key whose served plan
     # changes in r8 must be promoted to the FRONT (re-run the proposer
     # with --changed).  Steady state: 142 keys / 50-key windows, <=3

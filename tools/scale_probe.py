@@ -315,6 +315,9 @@ def main() -> None:
     args = sys.argv[1:]
     if "--cc" in args:
         args.remove("--cc")
+        bad = [a for a in args if not a.isdigit()]
+        if bad:
+            sys.exit(f"--cc takes only replica multipliers, got: {bad}")
         run_cc_probe([int(a) for a in args] or [1, 10, 100])
         return
     pairs_mode = "--pairs" in args
