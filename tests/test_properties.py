@@ -235,6 +235,9 @@ def test_connected_components_match_union_find(pb_spark, edges):
         if edges
         else spark.createDataFrame([], "u long, v long")
     )
+    # scatter across more partitions than edges so _forest_contract's
+    # per-partition pass sees arbitrary (often empty or 1-edge) views
+    edf = edf.repartition(7)
     got = {
         r.doc_id: r.label for r in connected_components(nodes, edf).collect()
     }
