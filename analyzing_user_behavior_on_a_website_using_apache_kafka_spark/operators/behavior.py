@@ -586,3 +586,137 @@ def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+# probe-set size / top-k for the activity-profile similarity search
+_TS_PROBES = 20
+_TS_TOPK = 5
+
+
+@query(
+    "q_sim_timeseries",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT user_id, sqrt(SUM(c * c)) AS l2 FROM cnt GROUP BY 1
+    ),
+    probes AS (
+      SELECT user_id AS probe_user FROM nrm ORDER BY user_id LIMIT 20
+    ),
+    dots AS (
+      SELECT a.user_id AS pu, b.user_id AS cu, SUM(a.c * b.c) AS dot
+      FROM cnt a JOIN cnt b ON a.h = b.h AND a.user_id <> b.user_id
+      WHERE a.user_id IN (SELECT probe_user FROM probes)
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.probe_user, n.user_id AS cand_user,
+             COALESCE(d.dot, 0) / (np.l2 * n.l2) AS cos
+      FROM probes p
+      JOIN nrm np ON np.user_id = p.probe_user
+      CROSS JOIN nrm n
+      LEFT JOIN dots d ON d.pu = p.probe_user AND d.cu = n.user_id
+      WHERE n.user_id <> p.probe_user
+    ),
+    ranked AS (
+      SELECT probe_user, cand_user,
+             ROUND(cos, 6) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_user
+                                ORDER BY cos DESC, cand_user) AS rnk
+      FROM pairs
+    )
+    SELECT probe_user, cand_user, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_sim_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-pattern similarity search: which users behave alike
+    over time — the top-k cosine neighbors of each probe user's
+    24-dim hourly-activity profile (the distributed time-series
+    similarity-search pattern of EDBT'19-style systems, applied to the
+    reference's clickstream domain: ``serwer.js`` tags each message
+    with its click time; "users with the same daily rhythm" is the
+    natural next question after its per-topic histograms).
+
+    Plan shape (100 TB): ONE partial-aggregated pass over raw events
+    down to O(users × 24) rows, pivoted to one 24-float profile row
+    per user — raw events are never windowed or self-joined. The
+    probe side is a broadcast 20-row relation (lowest user_ids —
+    deterministic), so scoring is a single corpus scan, and top-k is
+    the same two-phase window as q_sim_topk_bruteforce (partial top-k
+    per physical partition, re-rank the O(partitions × k) survivors)
+    — no single-reducer-per-probe skew wall. Exactness: profile
+    vectors are integer counts, so dot products and squared norms are
+    EXACT in double arithmetic regardless of summation order — the
+    cosine is bit-identical between Spark's fixed-order array
+    aggregate and the oracle's hour-join SUM, and the rank tie-break
+    on cand_user is therefore stable across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    prof = (
+        cnt.groupBy("user_id")
+        .pivot("h", list(range(24)))
+        .sum("c")
+        .na.fill(0.0)
+    )
+    vec = F.array(*[F.col(f"`{h}`") for h in range(24)])
+    prof = prof.select(
+        "user_id",
+        vec.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("l2"),
+    )
+    probes = (
+        prof.orderBy("user_id")
+        .limit(_TS_PROBES)
+        .select(
+            F.col("user_id").alias("probe_user"),
+            F.col("v").alias("pv"),
+            F.col("l2").alias("pl2"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        prof.crossJoin(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("probe_user"))
+        .select(
+            "probe_user",
+            F.col("user_id").alias("cand_user"),
+            (dot / (F.col("pl2") * F.col("l2"))).alias("cos"),
+        )
+    )
+    w_part = W.partitionBy("probe_user", "pid").orderBy(
+        F.col("cos").desc(), F.col("cand_user")
+    )
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("prnk", F.row_number().over(w_part))
+        .filter(F.col("prnk") <= _TS_TOPK)
+    )
+    w = W.partitionBy("probe_user").orderBy(
+        F.col("cos").desc(), F.col("cand_user")
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TS_TOPK)
+        .select(
+            "probe_user",
+            "cand_user",
+            F.round("cos", 6).alias("cosine_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -56,16 +56,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY: tuple[str, ...] = (
     # Round-8 window, produced by `python tools/propose_window.py` (the
     # by-hand composition rules of r4-r7, now encoded + unit-tested):
-    # all 43 keys last checked in r5 are at the staleness bound after
-    # this round runs; 4 oldest r6 fillers thin the r9 backlog (6 were
-    # taken, 2 evicted by the family pins below); family
-    # pins keep q_uda*/q_sim_* represented.  Any key whose served plan
-    # changes in r8 must be promoted to the FRONT (re-run the proposer
-    # with --changed).  Steady state: 142 keys / 50-key windows, <=3
-    # round staleness, enforced by tools/rotation_check.py.
+    # 2 changed-plan keys lead (CC contraction; editdist location
+    # prefixes), then the never-driver-checked r8 widening key
+    # q_sim_timeseries (mandatory — it also satisfies the q_sim_
+    # family pin), then all 42 remaining r5-at-bound keys; 4 oldest
+    # r6 fillers thin the r9 backlog (5 taken, 1 evicted by the q_uda
+    # pin).  Any key whose served plan changes must be promoted to the
+    # FRONT (re-run the proposer with --changed).  Steady state: 143
+    # keys / 50-key windows, <=3 round staleness, enforced by
+    # tools/rotation_check.py.
     # --- changed this round ---
     "q_dedup_clusters",
     "q_dedup_editdist",
+    # --- never driver-checked ---
+    "q_sim_timeseries",
     # --- at staleness bound (last r5) ---
     "q_agg_approx_distinct",
     "q_agg_collect",
@@ -116,8 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_cohort_retention",
     # --- family pin (q_uda) ---
     "q_udaf_grouped",
-    # --- family pin (q_sim_) ---
-    "q_sim_ann",
 )
 
 

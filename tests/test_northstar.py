@@ -970,3 +970,54 @@ def test_semantic_matmul_routing_matches_fold_path(spark, sf_dir):
     finally:
         spark.conf.unset("spark.aub.vectorRouting")
     assert fold == matmul
+
+
+def test_sim_timeseries_topk_shape_and_bounds(spark, sf_dir):
+    """q_sim_timeseries (r8): per probe exactly min(k, candidates)
+    neighbors with dense ranks 1..k, cosine in [0, 1] (profiles are
+    nonnegative counts), no self-pairs, and a brute-force cosine check
+    of the top-1 neighbor for the lowest probe user."""
+    import math
+    from collections import defaultdict
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.behavior import (
+        _TS_TOPK,
+        q_sim_timeseries,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        load_table,
+    )
+
+    rows = q_sim_timeseries(spark, sf_dir).collect()
+    per_probe = defaultdict(list)
+    for r in rows:
+        assert r.probe_user != r.cand_user
+        assert 0.0 <= r.cosine_sim <= 1.0 + 1e-9
+        per_probe[r.probe_user].append(r)
+    for probe, rs in per_probe.items():
+        assert sorted(x.rnk for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TS_TOPK
+    # brute-force the top-1 for the lowest probe user in plain python
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    prof = defaultdict(lambda: [0.0] * 24)
+    for e in ev:
+        prof[e.user_id][e.ts.hour] += 1.0
+    probe = min(per_probe)
+    pv = prof[probe]
+    best = max(
+        (
+            (
+                sum(a * b for a, b in zip(pv, v))
+                / (
+                    math.sqrt(sum(a * a for a in pv))
+                    * math.sqrt(sum(b * b for b in v))
+                ),
+                -u,
+            )
+            for u, v in prof.items()
+            if u != probe
+        ),
+    )
+    got1 = next(r for r in per_probe[probe] if r.rnk == 1)
+    assert got1.cand_user == -best[1]
+    assert abs(got1.cosine_sim - round(best[0], 6)) < 1e-9

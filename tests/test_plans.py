@@ -105,6 +105,7 @@ _BNLJ_ALLOWED = {
     "q_join_cross",  # explicit tiny-dims cross join
     "q_join_theta_range",  # literal 5-row band table broadcast
     "q_sim_topk_bruteforce",  # 5-probe set broadcast (two-phase top-k)
+    "q_sim_timeseries",  # 20-probe profile broadcast (two-phase top-k)
     "q_text_tfidf",  # 1-row corpus-size aggregate broadcast
     "q_text_unigram_logprob",  # 1-row corpus-total aggregate broadcast
     "q_event_anomaly",  # 1-row mean/stddev aggregate broadcast
