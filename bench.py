@@ -61,6 +61,11 @@ HEADLINE = [
     # user-analytics workload generalized (per-user event sequencing:
     # one shuffle on user_id, conditional min-over-window per step)
     "q_funnel_conversion",
+    # round-8 addition, tracked from its first round (like-for-like
+    # comparisons vs r7 should drop this row): activity-pattern
+    # similarity — hourly-profile pivot + broadcast-probe two-phase
+    # cosine top-k over the events table
+    "q_sim_timeseries",
 ]
 
 EXTENDED = [

@@ -90,6 +90,10 @@ PROBES = {
     # collapses every K-way copy group to one row, so output stays
     # base-sized and the exponent measures the gate+dedup+split plan.
     "q_pipeline_curate": "gate → md5-groupBy dedup → hash split, one plan",
+    # r8: activity-profile similarity — id-offset replicas multiply
+    # USERS while the probe set stays 20 and output stays 20×k, so
+    # the exponent measures the events→profiles agg + corpus scoring
+    "q_sim_timeseries": "hourly-profile pivot + broadcast-probe top-k",
 }
 
 # Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
