@@ -141,6 +141,15 @@ def emit(compact: dict, detail: dict) -> None:
 
 
 def main() -> None:
+    # 1-minute load average at bench START: this rig's walls read
+    # 1.5-2x high for minutes after any 32-thread run (suite, sweep,
+    # replica build — SCALE.md variance study), so the recorded number
+    # lets a reader judge whether a BENCH_r{N} draw was quiet-rig
+    # (≲0.5) or contended before comparing rounds.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        load1 = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -221,6 +230,7 @@ def main() -> None:
             "extended": extended,
             "extended_total_sec": round(sum(extended.values()), 3),
             "sf": sf_val,
+            "load_avg_start": load1,
         },
         detail={
             "detail": "per_rep",

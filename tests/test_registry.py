@@ -288,6 +288,7 @@ def test_bench_emission_is_compact_contract_line_last(capsys):
         "extended": {f"e_{i}": 1.0 for i in range(12)},
         "extended_total_sec": 12.0,
         "sf": 0.1,
+        "load_avg_start": 0.42,  # rig-state field added r8
     }
     emit(compact, detail={"detail": "per_rep", "reps": [1.5] * 3})
     cap = capsys.readouterr()
