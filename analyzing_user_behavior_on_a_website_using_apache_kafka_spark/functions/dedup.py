@@ -17,7 +17,8 @@ are the only crossing structure — the corpus is never self-joined.
 
 _CACHE_OWNERSHIP: the explicit ``persist(MEMORY_AND_DISK)`` calls in
 this module (minhash signatures, jaccard prefixes, containment ordered,
-semantic assignment, editdist ordered, simhash signatures, embed-cosine
+semantic assignment, editdist location-prefixes (``withpre``, r8),
+simhash signatures, embed-cosine
 buckets and scored half-pairs) are SESSION-LIFETIME by design — the DataFrame API gives no
 sound unpersist point inside a lazily-returned plan (the consumer's
 action hasn't run yet), and the memoized relations (verified pairs →
