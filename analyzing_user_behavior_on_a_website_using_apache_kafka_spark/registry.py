@@ -57,19 +57,20 @@ _PRIORITY: tuple[str, ...] = (
     # Round-8 window, produced by `python tools/propose_window.py` (the
     # by-hand composition rules of r4-r7, now encoded + unit-tested):
     # 2 changed-plan keys lead (CC contraction; editdist location
-    # prefixes), then the never-driver-checked r8 widening key
-    # q_sim_timeseries (mandatory — it also satisfies the q_sim_
-    # family pin), then all 42 remaining r5-at-bound keys; 4 oldest
-    # r6 fillers thin the r9 backlog (5 taken, 1 evicted by the q_uda
-    # pin).  Any key whose served plan changes must be promoted to the
-    # FRONT (re-run the proposer with --changed).  Steady state: 143
-    # keys / 50-key windows, <=3 round staleness, enforced by
-    # tools/rotation_check.py.
+    # prefixes), then the two never-driver-checked r8 widening keys
+    # (q_sim_timeseries — also satisfies the q_sim_ family pin — and
+    # q_sql_recursive), then all 42 remaining r5-at-bound keys; 3
+    # oldest r6 fillers thin the r9 backlog (4 taken, 1 evicted by
+    # the q_uda pin).  Any key whose served plan changes must be
+    # promoted to the FRONT (re-run the proposer with --changed).
+    # Steady state: 144 keys / 50-key windows, <=3 round staleness,
+    # enforced by tools/rotation_check.py.
     # --- changed this round ---
     "q_dedup_clusters",
     "q_dedup_editdist",
     # --- never driver-checked ---
     "q_sim_timeseries",
+    "q_sql_recursive",
     # --- at staleness bound (last r5) ---
     "q_agg_approx_distinct",
     "q_agg_collect",
@@ -117,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_approx_quantile",
     "q_agg_sketch_merge",
     "q_agg_stats",
-    "q_cohort_retention",
     # --- family pin (q_uda) ---
     "q_udaf_grouped",
 )
