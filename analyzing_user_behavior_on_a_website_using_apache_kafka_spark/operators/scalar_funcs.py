@@ -222,3 +222,42 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("props_map"), "type").alias("v_type"),
         F.element_at(F.col("props_map"), "value").cast("double").alias("v_value"),
     ).withColumn("v_value", F.round("v_value", 6))
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type (r8
+    widening): ``parse_json`` once into the shredded binary VARIANT
+    encoding, then typed ``variant_get`` extraction — the fast path
+    for JSON-heavy event payloads (the reference's dynamic topic
+    payloads, SURVEY §1.2). Versus q_json_funcs' per-path
+    ``get_json_object`` string re-parsing, VARIANT parses each
+    payload ONCE and serves every later extraction from the binary
+    form — at 100 TB of event JSON that is the difference between
+    one parse per row and one per row×path. The oracle is DuckDB's
+    ``json_extract`` (hand-matched pair — DuckDB has no VARIANT);
+    aggregation down to O(types) rows keeps the comparison exact
+    (integer sums; avg rounded identically).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

@@ -135,3 +135,33 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-first-then-iterate discipline as connected_components.
     """
     return _run(spark, sf_dir, _SQL_RECURSIVE)
+
+
+_SQL_LATERAL = """
+SELECT c.c_custkey,
+       t.o_orderkey,
+       ROUND(t.o_totalprice, 2) AS total_price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("q_sql_lateral", oracle=_SQL_LATERAL)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL correlated subquery through the SQL front-end (r8
+    widening): each customer's top-2 orders by value — the per-row
+    subquery formulation of q_topk_per_group, deterministic via the
+    (price DESC, orderkey) tie-break. The SAME string runs on both
+    engines, so the key checks LATERAL decorrelation itself for
+    cross-engine parity.
+
+    Scale: Catalyst DECORRELATES this — the optimized plan is
+    WindowGroupLimit (partial per-partition top-2, map-side) + one
+    hash join on custkey, NOT a per-customer nested loop; i.e. the
+    SQL feature lowers to exactly the scale-safe two-phase plan the
+    DataFrame twin (q_topk_per_group) hand-writes. Verified in the
+    optimized plan; no BNLJ (plan-guard covered like every key).
+    """
+    return _run(spark, sf_dir, _SQL_LATERAL)

@@ -57,20 +57,23 @@ _PRIORITY: tuple[str, ...] = (
     # Round-8 window, produced by `python tools/propose_window.py` (the
     # by-hand composition rules of r4-r7, now encoded + unit-tested):
     # 2 changed-plan keys lead (CC contraction; editdist location
-    # prefixes), then the two never-driver-checked r8 widening keys
-    # (q_sim_timeseries — also satisfies the q_sim_ family pin — and
-    # q_sql_recursive), then all 42 remaining r5-at-bound keys; 3
-    # oldest r6 fillers thin the r9 backlog (4 taken, 1 evicted by
-    # the q_uda pin).  Any key whose served plan changes must be
-    # promoted to the FRONT (re-run the proposer with --changed).
-    # Steady state: 144 keys / 50-key windows, <=3 round staleness,
-    # enforced by tools/rotation_check.py.
+    # prefixes), then the FOUR never-driver-checked r8 widening keys
+    # (q_sim_timeseries — also satisfies the q_sim_ family pin —
+    # q_sql_recursive, q_json_variant, q_sql_lateral), then all 42
+    # remaining r5-at-bound keys; 1 oldest r6 filler thins the r9
+    # backlog (2 taken, 1 evicted by the q_uda pin).  Any key whose
+    # served plan changes must be promoted to the FRONT (re-run the
+    # proposer with --changed).  Steady state: 146 keys / 50-key
+    # windows, <=3 round staleness, enforced by
+    # tools/rotation_check.py.
     # --- changed this round ---
     "q_dedup_clusters",
     "q_dedup_editdist",
     # --- never driver-checked ---
     "q_sim_timeseries",
     "q_sql_recursive",
+    "q_json_variant",
+    "q_sql_lateral",
     # --- at staleness bound (last r5) ---
     "q_agg_approx_distinct",
     "q_agg_collect",
@@ -116,8 +119,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_running",
     # --- backlog thinning (last r6) ---
     "q_agg_approx_quantile",
-    "q_agg_sketch_merge",
-    "q_agg_stats",
     # --- family pin (q_uda) ---
     "q_udaf_grouped",
 )
