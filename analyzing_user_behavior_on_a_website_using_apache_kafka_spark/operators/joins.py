@@ -18,6 +18,9 @@ join with the strategy chosen for scale:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -332,4 +335,82 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("event_id").agg(
         F.max(F.col("o_orderdate")).cast("date").alias("asof_orderdate")
+    )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 'hot' ELSE 'cold' END AS tier
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN dim d ON e.event_type = d.event_type
+    WHERE d.tier = 'hot'
+    GROUP BY e.event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (r8 widening): the star-schema join
+    where the partitions of the fact table to scan are only known at
+    RUNTIME, from the dim side's filter — the partition-layout twin of
+    the runtime bloom filter (tests/test_plans.py's
+    ``test_runtime_bloom_filter_prunes_probe_side``).
+
+    Mechanics: the event log is laid out Hive-partitioned by
+    event_type (the ``q_sink_partitioned`` layout), the enum-sized
+    type dim carries a non-key attribute (tier), and the query joins
+    fact⋈dim with a LITERAL filter on that attribute. No literal
+    predicate on the partition column exists anywhere in the query —
+    static partition pruning is impossible. Catalyst's DPP rule turns
+    the dim side into a reused-broadcast subquery on the fact scan:
+    ``PartitionFilters: [dynamicpruning#...]``, so only the 'hot'
+    partition directories are ever opened (asserted in
+    tests/test_plans.py on this exact plan; fires under DEFAULT confs,
+    vanilla-session safe).
+
+    Scale (100 TB): THE fact-table access pattern — a date/tenant/
+    type-partitioned event log joined against a filtered dim scans
+    only the partitions the dim filter selects, turning a 100 TB scan
+    into the few-TB slice that survives pruning, with zero literal
+    leakage into the query text. The dim build here derives from
+    events for fixture self-containment; the plan shape is identical
+    for a real warehouse dim table.
+    """
+    out = tempfile.mkdtemp(prefix="aub_dpp_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(
+        os.path.join(out, "fact")
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(
+                F.col("event_type").isin("click", "purchase"), "hot"
+            ).otherwise("cold"),
+        )
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(out, "dim"))
+    fact = spark.read.parquet(os.path.join(out, "fact"))
+    hot = spark.read.parquet(os.path.join(out, "dim")).filter(
+        F.col("tier") == "hot"
+    )
+    return (
+        fact.join(hot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
     )

