@@ -94,6 +94,15 @@ PROBES = {
     # USERS while the probe set stays 20 and output stays 20×k, so
     # the exponent measures the events→profiles agg + corpus scoring
     "q_sim_timeseries": "hourly-profile pivot + broadcast-probe top-k",
+    # r8 widening keys: replicas multiply EVENTS over a fixed calendar,
+    # so interpolate's grid/windows stay O(hours×types) (exponent
+    # measures the one agg pass, like q_time_rollup) and dpp's cost is
+    # the partitioned re-write (Ω(input)) + the pruned 2-of-5 scan.
+    # q_sink_zorder is NOT probed: it clusters `orders`, which the
+    # id-offset replicas pass through unchanged — a flat exponent there
+    # would be a measurement artifact, not a property of the plan.
+    "q_time_interpolate": "one agg to O(hours×types); grid+windows calendar-bounded",
+    "q_join_dpp": "partitioned sink write + dim-driven pruned scan",
 }
 
 # Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
