@@ -676,3 +676,23 @@ def test_time_interpolate_fills_every_gap_within_bounds(spark, sf_dir):
             obs = by_type[r["event_type"]]
             assert min(obs) - 1e-9 <= r["v_fill"] <= max(obs) + 1e-9, r
     assert n_gaps > 0, "fixture produced no gaps — test is vacuous"
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """q_sql_lateral (r8): the docstring claims Catalyst decorrelates
+    the LATERAL top-2 subquery into WindowGroupLimit + one hash join
+    rather than a per-customer nested loop — pin that claim to the
+    actual optimized plan so a future Spark upgrade or query edit that
+    silently reintroduces a correlated nested loop fails here."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.sql_surface import (
+        q_sql_lateral,
+    )
+
+    plan = (
+        q_sql_lateral(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "LateralJoin" not in plan, plan
