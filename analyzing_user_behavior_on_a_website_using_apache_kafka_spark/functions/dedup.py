@@ -19,7 +19,9 @@ _CACHE_OWNERSHIP: the explicit ``persist(MEMORY_AND_DISK)`` calls in
 this module (minhash signatures, jaccard prefixes, containment ordered,
 semantic assignment, editdist location-prefixes (``withpre``, r8),
 simhash signatures, embed-cosine
-buckets and scored half-pairs) are SESSION-LIFETIME by design — the DataFrame API gives no
+buckets and scored half-pairs) — plus the O(hours×types) rollup/
+interpolation base in ``operators/timeseries.py`` (r8) —
+are SESSION-LIFETIME by design — the DataFrame API gives no
 sound unpersist point inside a lazily-returned plan (the consumer's
 action hasn't run yet), and the memoized relations (verified pairs →
 clusters) are cross-query shared on purpose, mirroring the staged

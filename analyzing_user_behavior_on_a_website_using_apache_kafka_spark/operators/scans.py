@@ -438,10 +438,14 @@ _Z_BITS = 16  # per-dimension resolution: 16+16 bits -> 32-bit z-value
 
 def _z_norm_expr(col: str, lo: str, hi: str) -> str:
     """Map col into [0, 2^_Z_BITS) by min/max scaling — identical double
-    arithmetic in both engines, floored and cast to BIGINT."""
+    arithmetic in both engines, floored and cast to BIGINT. GREATEST
+    guards the degenerate constant-column case (hi == lo would divide
+    by zero, and double-div-by-zero semantics DIFFER between engines);
+    a constant column normalizes to all-zeros, which is the correct
+    z-curve for a dimension with no spread."""
     return (
         f"CAST(FLOOR((CAST({col} AS DOUBLE) - ({lo})) * {2**_Z_BITS - 1}"
-        f" / (({hi}) - ({lo}))) AS BIGINT)"
+        f" / GREATEST(({hi}) - ({lo}), 1e-300)) AS BIGINT)"
     )
 
 

@@ -74,21 +74,31 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ``sequence(lo, hi, interval 1 hour)`` into the hour spine,
     a broadcast cross join against the enum-sized distinct type list,
     and a left join of that calendar-bounded grid onto the rollup.
+
+    The rollup is ``persist``ed and the bounds/types derive FROM it
+    (r8): deriving them from raw events re-executed the column-pruned
+    scan+agg subtree for each (Catalyst prunes the three subtrees
+    differently, so exchange reuse cannot unify them — three full
+    passes over the event log at 100 TB); off the persisted
+    O(hours × types) relation they are cache reads. Same min/max and
+    distinct-type VALUES either way, so the oracle is unchanged.
     """
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
     )
     agg = ev.groupBy("h", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
-    )
-    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bounds = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("interval 1 hour"))
         ).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     grid = hours.crossJoin(F.broadcast(types))
     return (
         grid.join(agg, ["h", "event_type"], "left")
@@ -183,16 +193,25 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
     )
+    from pyspark import StorageLevel
+
     # exact decimal sum / count instead of avg(double): double summation
     # is partial-agg-order dependent, and a 1-ulp difference at a round-
     # half boundary breaks cross-engine parity (seen at sf0.1); the
-    # decimal path is order-independent and bit-identical in both engines
-    base = ev.groupBy("h", "event_type").agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("v")
+    # decimal path is order-independent and bit-identical in both engines.
+    # persist: bounds/types/grid all consume this relation — without it
+    # Catalyst re-executes the differently-pruned scan+agg subtree three
+    # times (three full event-log passes at 100 TB; same fix as rollup).
+    base = (
+        ev.groupBy("h", "event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bounds = base.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = bounds.select(

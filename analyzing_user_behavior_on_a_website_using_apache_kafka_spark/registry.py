@@ -74,6 +74,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- changed this round ---
     "q_dedup_clusters",
     "q_dedup_editdist",
+    # rollup/interpolate base persisted (3 event scans -> 1); rollup
+    # was already at-bound, promoted here per the changed-plan rule
+    "q_time_rollup",
     # --- never driver-checked ---
     "q_sim_timeseries",
     "q_sql_recursive",
@@ -112,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_sliding",
     "q_text_langid",
     "q_text_quality",
-    "q_time_rollup",
     "q_topk_per_group",
     "q_udf_scalar",
     "q_udtf_python",
