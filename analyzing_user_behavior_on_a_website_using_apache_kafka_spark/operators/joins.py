@@ -338,6 +338,28 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (session, corpus) -> written Hive-partitioned event-log layout for
+# q_join_dpp, memoized so repeated calls (oracle sweeps, scale probes)
+# re-use one written copy instead of re-writing the fact per invocation
+_DPP_LAYOUT_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), os.path.abspath(sf_dir))
+    hit = _DPP_LAYOUT_CACHE.get(key)
+    if hit is not None and os.path.isdir(os.path.join(hit, "fact")):
+        return hit
+    out = tempfile.mkdtemp(prefix="aub_dpp_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(
+        os.path.join(out, "fact")
+    )
+    _DPP_LAYOUT_CACHE[key] = out
+    return out
+
+
 @query(
     "q_join_dpp",
     oracle="""
@@ -379,19 +401,17 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-partitioned event log joined against a filtered dim scans
     only the partitions the dim filter selects, turning a 100 TB scan
     into the few-TB slice that survives pruning, with zero literal
-    leakage into the query text. The dim build here derives from
-    events for fixture self-containment; the plan shape is identical
-    for a real warehouse dim table.
+    leakage into the query text. The dim build here derives from the
+    fact layout's own partition values (a directory listing — the
+    `select(partition_col).distinct()` of a partitioned scan reads no
+    data pages) for fixture self-containment; the plan shape is
+    identical for a real warehouse dim table. The layout itself is
+    written once per (session, corpus) and memoized — the event log
+    is scanned exactly once per session, by the write.
     """
-    out = tempfile.mkdtemp(prefix="aub_dpp_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "value", "event_type"
-    )
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(
-        os.path.join(out, "fact")
-    )
+    out = _dpp_layout(spark, sf_dir)
     dim = (
-        load_table(spark, sf_dir, "events")
+        spark.read.parquet(os.path.join(out, "fact"))
         .select("event_type")
         .distinct()
         .withColumn(

@@ -89,3 +89,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def evict_caches(spark) -> None:
+    """Cold-measurement hygiene for timing harnesses (bench.py,
+    tools/scale_probe.py): drop every cached relation AND every
+    module-level (session, corpus) memo dict in one call.
+
+    The two MUST move together — ``clearCache`` unpersists the memoized
+    DataFrames' storage, and a later memo hit on an unpersisted
+    DataFrame silently recomputes WITHOUT re-caching for any later
+    consumer (ADVICE r6 / bench.py discussion). Any new module memo
+    belongs in this list, not in per-harness copies.
+    """
+    from .functions import dedup
+    from .operators import joins, timeseries
+
+    dedup._PAIR_CACHE.clear()
+    timeseries._HOURLY_CACHE.clear()
+    joins._DPP_LAYOUT_CACHE.clear()
+    spark.catalog.clearCache()

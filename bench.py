@@ -202,18 +202,15 @@ def main() -> None:
         for _ in range(n_reps):
             if n_reps > 1:
                 # cold rep: drop every cached relation (incl. the
-                # query's own persist from the previous rep) so the
-                # median measures the plan, not CacheManager reuse.
-                # Also evict the dedup pair-table memo: clearCache
-                # unpersists its storage, and a memo hit on an
-                # unpersisted DataFrame would silently recompute
-                # WITHOUT re-caching for any later consumer.
-                from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
-                    dedup as _dedup,
+                # query's own persist from the previous rep) AND every
+                # module memo so the median measures the plan, not
+                # CacheManager reuse — see session.evict_caches for
+                # why memo + clearCache must move together.
+                from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+                    evict_caches,
                 )
 
-                _dedup._PAIR_CACHE.clear()
-                spark.catalog.clearCache()
+                evict_caches(spark)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             reps.append(round(time.time() - t0, 3))

@@ -48,6 +48,7 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
     registry,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+    evict_caches,
     get_spark,
 )
 
@@ -368,18 +369,12 @@ def main() -> None:
         for k in ks:
             reps = []
             for _ in range(2):
-                if pairs_mode:
-                    # every pair plan persists its shared subtree; a
-                    # warm rep would measure only the post-cache join.
-                    # Cold both reps (and evict the pair-table memo —
-                    # see bench.py for why memo + clearCache must move
-                    # together) so min-of-2 is a cold-plan number.
-                    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
-                        dedup as _dedup,
-                    )
-
-                    _dedup._PAIR_CACHE.clear()
-                    spark.catalog.clearCache()
+                # persisted subtrees and (session, corpus) memos make
+                # later reps warm (post-cache plan only); cold BOTH
+                # reps in BOTH modes so min-of-2 is a cold-plan number
+                # — see session.evict_caches for why memo + clearCache
+                # must move together.
+                evict_caches(spark)
                 t0 = time.time()
                 qs[name](spark, dirs[k]).count()
                 reps.append(time.time() - t0)
