@@ -696,3 +696,29 @@ def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan, plan
     assert "LateralJoin" not in plan, plan
+
+
+def test_memoized_caches_reuse_and_evict(spark, sf_dir):
+    """r8 cache-ownership contract: the (session, corpus) memos return
+    the SAME DataFrame/layout on repeat calls (one persist per session,
+    not one per invocation), and session.evict_caches drops the memo
+    together with the storage — a memo hit on an unpersisted DataFrame
+    would silently recompute without re-caching (the bench.py
+    discussion), so the two must always move together."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators import (
+        joins,
+        timeseries,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+        evict_caches,
+    )
+
+    b1 = timeseries.hourly_base(spark, sf_dir)
+    assert timeseries.hourly_base(spark, sf_dir) is b1
+    assert b1.storageLevel.useMemory
+    d1 = joins._dpp_layout(spark, sf_dir)
+    assert joins._dpp_layout(spark, sf_dir) == d1
+    evict_caches(spark)
+    b2 = timeseries.hourly_base(spark, sf_dir)
+    assert b2 is not b1
+    assert b2.storageLevel.useMemory
