@@ -20,7 +20,9 @@ this module (minhash signatures, jaccard prefixes, containment ordered,
 semantic assignment, editdist location-prefixes (``withpre``, r8),
 simhash signatures, embed-cosine
 buckets and scored half-pairs) — plus the O(hours×types) rollup/
-interpolation base in ``operators/timeseries.py`` (r8) —
+interpolation base in ``operators/timeseries.py`` (r8) and the
+O(languages) count relation in ``functions/sampling.py``'s
+temperature resampler (late r8) —
 are SESSION-LIFETIME by design — the DataFrame API gives no
 sound unpersist point inside a lazily-returned plan (the consumer's
 action hasn't run yet), and the memoized relations (verified pairs →

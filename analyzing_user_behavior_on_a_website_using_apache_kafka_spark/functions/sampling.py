@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..registry import query
@@ -143,9 +144,22 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates broadcast back (the q_event_anomaly scalar pattern);
     per-doc membership is a broadcast join on lang + a map-side
     predicate. Nothing after the first count touches O(docs) state.
+
+    The count relation ``c`` is persisted (r8 scan-shape audit): the
+    s/q/m/r scalar chain consumes it four times, and without the cache
+    each consumer re-expands through its own full documents scan
+    (5 scans at sf0.001) — at 100 TB that is four corpus passes to
+    rebuild a dozen-row table. With the persist the plan is 2 passes:
+    one to populate ``c``, one for membership. Session-lifetime cache
+    per the ``_CACHE_OWNERSHIP`` contract in ``functions/dedup.py``
+    (slim O(languages) rows; ``session.evict_caches`` clears it).
     """
     d = load_table(spark, sf_dir, "documents")
-    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     s = c.agg(F.sum(F.sqrt("n")).alias("tot"))
     q = c.crossJoin(F.broadcast(s)).select(
         "lang", "n", (F.sqrt("n") / F.col("tot")).alias("ql")

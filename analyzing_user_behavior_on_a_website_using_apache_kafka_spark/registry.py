@@ -77,6 +77,12 @@ _PRIORITY: tuple[str, ...] = (
     # rollup/interpolate base persisted (3 event scans -> 1); rollup
     # was already at-bound, promoted here per the changed-plan rule
     "q_time_rollup",
+    # lang-count relation persisted (5 documents scans -> 2, the r8
+    # scan-shape audit queue); was already in-window at the r5 bound,
+    # promoted here per the changed-plan rule.  Its sibling
+    # q_sample_stratified persist stays queued for r9 (r6-checked,
+    # NOT in this window).
+    "q_sample_temperature",
     # --- never driver-checked ---
     "q_sim_timeseries",
     "q_sql_recursive",
@@ -103,7 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_map_funcs",
     "q_multimodal_framedup",
     "q_profile_columns",
-    "q_sample_temperature",
     "q_sink_foreachbatch",
     "q_sort_multikey",
     "q_source_binaryfile",
