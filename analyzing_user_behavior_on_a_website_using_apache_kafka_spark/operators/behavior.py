@@ -720,3 +720,127 @@ def q_sim_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# STAGED FOR ROUND 9 — built and tested in round 8, NOT yet registered.
+#
+# The driver verifies a 50-key window per round under a <=3-round staleness
+# bound, so steady-state capacity is 3 x 50 = 150 keys; at 149 keys there is
+# exactly ONE registration slot left, and the round-8 window is full (a key
+# registered mid-round-8 would be never-driver-checked outside the window —
+# a strict rotation violation).  Round 9 wraps this function with
+#   @query("q_event_attribution", oracle=_ATTRIBUTION_ORACLE)
+# and leads the r9 window with it (tests below already pin semantics and
+# cross-engine parity so registration is a two-line change).
+# --------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24 h, binds at ~p90 user gaps
+_ATTR_CHANNELS = ("search", "social", "email", "ads")
+
+_ATTRIBUTION_ORACLE = f"""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN
+               ['search', 'social', 'email', 'ads']
+                 [(json_extract_string(props, '$.k')::INT % 4) + 1]
+             END AS ch
+      FROM events
+    ),
+    a AS (
+      SELECT *,
+             LAST_VALUE(ch IGNORE NULLS) OVER w AS lch,
+             LAST_VALUE(CASE WHEN ch IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w AS lts
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT COALESCE(
+             CASE WHEN epoch_us(ts) - lts <= {_ATTR_LOOKBACK_US}
+                  THEN lch END,
+             'organic') AS channel,
+           COUNT(*) AS conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS revenue
+    FROM a
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 24-hour lookback: every
+    purchase is credited to the marketing channel of the most recent
+    preceding touch (a ``view``/``click``, channel decoded from the
+    event's ``props`` payload) by the same user, or to ``organic`` when
+    no touch happened within the lookback — the per-channel
+    conversion/revenue report a growth team runs daily on exactly the
+    clickstream the reference collects (``serwer.js`` emits one Kafka
+    message per site interaction; ``Raport.py:74-99`` charts raw
+    per-topic volumes — this is the next report over the same log).
+
+    Semantics pinned by tests: the LAST touch wins (not first), ties at
+    identical timestamps break on ``event_id`` (the ``_ORD`` total
+    order), a stale touch (older than the lookback) yields ``organic``,
+    and the purchase row itself is never a touch (its channel is NULL,
+    so the ignore-nulls running last skips it by construction).
+
+    100 TB shape: ONE hash Exchange on ``user_id`` (high-cardinality,
+    evenly distributed — the module's standard partitioning); the
+    running last-touch is a map-side ignore-nulls window over that
+    partitioning carrying two slim columns (channel enum + bigint
+    micros), purchases (~20 % of rows) filter BEFORE the final
+    aggregate, and the report relation is O(channels) — 5 rows at any
+    scale.  Revenue sums exact ``decimal(18,6)`` then casts once to
+    double: summation-order independent, so cross-engine parity holds
+    at every SF (the r8 interpolation lesson).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    ch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _ATTR_CHANNELS]), (k % 4) + 1
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(*_ORD)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touched = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        ch.alias("ch"),
+        F.when(ch.isNotNull(), F.unix_micros("ts")).alias("tts"),
+    ).select(
+        "*",
+        F.last("ch", ignorenulls=True).over(w).alias("lch"),
+        F.last("tts", ignorenulls=True).over(w).alias("lts"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.unix_micros("ts") - F.col("lts")
+                    <= _ATTR_LOOKBACK_US,
+                    F.col("lch"),
+                ),
+                F.lit("organic"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )

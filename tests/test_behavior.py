@@ -260,3 +260,84 @@ def test_time_rollup_constructed_gaps_and_boundaries(spark):
     assert len(one) == 1
     assert one[0]["hour_iso"] == "2024-03-01 13:00"
     assert one[0]["n_events"] == 1
+
+
+# ---------------------------------------------------------------- staged r9
+# q_event_attribution is built+tested in r8 but registers in r9 (the r8
+# driver window is full — see the staging note in operators/behavior.py).
+# These tests pin its semantics NOW so r9 registration is mechanical.
+
+
+def _attr_dir(spark, rows) -> str:
+    """(event_id, ts, user_id, event_type, value, k) rows -> fixture dir."""
+    d = tempfile.mkdtemp(prefix="attr_fixture_")
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, v, '{"k": %d}' % k) for i, ts, uid, et, v, k in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def test_attribution_last_touch_lookback_and_ties(spark):
+    rows = [
+        # u1: search view then social click -> LAST touch (social) wins;
+        # a second purchase later still credits social (the first
+        # purchase is not a touch and must not reset attribution).
+        (0, _ts(minutes=1), 1, "view", 0.0, 0),      # k=0 -> search
+        (1, _ts(minutes=2), 1, "click", 0.0, 1),     # k=1 -> social
+        (2, _ts(minutes=3), 1, "purchase", 10.0, 0),
+        (3, _ts(minutes=4), 1, "purchase", 20.0, 0),
+        # u2: touch 25h before the purchase -> outside the 24h lookback
+        (4, _ts(hours=0), 2, "view", 0.0, 2),
+        (5, _ts(hours=25), 2, "purchase", 5.0, 0),
+        # u3: no touch at all
+        (6, _ts(minutes=9), 3, "purchase", 7.0, 0),
+        # u4: two touches at the IDENTICAL timestamp -> event_id breaks
+        # the tie, the higher id (ads) is the last touch
+        (7, _ts(minutes=1), 4, "view", 0.0, 2),      # k=2 -> email
+        (8, _ts(minutes=1), 4, "view", 0.0, 3),      # k=3 -> ads
+        (9, _ts(minutes=2), 4, "purchase", 3.0, 0),
+    ]
+    d = _attr_dir(spark, rows)
+    got = {
+        r["channel"]: (r["conversions"], r["revenue"])
+        for r in behavior.q_event_attribution(spark, d).collect()
+    }
+    assert got == {
+        "social": (2, 30.0),
+        "organic": (2, 12.0),
+        "ads": (1, 3.0),
+    }
+
+
+def test_attribution_boundary_is_inclusive(spark):
+    # a touch EXACTLY 24h before the purchase still attributes
+    rows = [
+        (0, _ts(hours=0), 1, "click", 0.0, 1),
+        (1, _ts(hours=24), 1, "purchase", 9.0, 0),
+    ]
+    d = _attr_dir(spark, rows)
+    got = [tuple(r) for r in behavior.q_event_attribution(spark, d).collect()]
+    assert got == [("social", 1, 9.0)]
+
+
+def test_attribution_matches_duckdb_oracle(spark):
+    """Until r9 registers the key, this pins the staged oracle SQL and
+    the Spark plan to each other at sf0.001 (the registered sweep in
+    test_oracle_parity takes over after registration)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    sdf = behavior.q_event_attribution(spark, sf)
+    srows = sorted(tuple(map(str, r)) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    drows = sorted(
+        tuple(map(str, r))
+        for r in con.execute(behavior._ATTRIBUTION_ORACLE).fetchall()
+    )
+    assert srows == drows and len(srows) == 5
