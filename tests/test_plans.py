@@ -722,3 +722,18 @@ def test_memoized_caches_reuse_and_evict(spark, sf_dir):
     b2 = timeseries.hourly_base(spark, sf_dir)
     assert b2 is not b1
     assert b2.storageLevel.useMemory
+
+
+def test_sample_temperature_reads_documents_twice(spark, sf_dir):
+    """Late-r8 scan-shape pin (the r8 static audit's queued persist):
+    the O(languages) count relation is persisted, so the s/q/m/r
+    scalar-rate chain reads ONE InMemoryRelation instead of
+    re-expanding through four extra full documents scans. The
+    formatted physical plan must show exactly 2 parquet scans —
+    populate-the-count + membership, the floor."""
+    df = registry.all_queries()["q_sample_temperature"](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.optimizedPlan().toString().count("InMemoryRelation") >= 1
+    fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    scans = fmt.count("documents.parquet")
+    assert scans == 2, f"expected the 2-scan floor, saw {scans}"
