@@ -620,3 +620,79 @@ def test_editdist_nonascii_parity_guard(pb_spark, tmp_path):
         for r in con.execute(all_oracles()["q_dedup_editdist"]).fetchall()
     )
     assert got == want == [(1, 2, 1)], (got, want)
+
+
+# ------------------------------------------------------------------ staged r9
+# Differential property test for the staged q_event_attribution (registers
+# in r9 — staging note in operators/behavior.py): random event logs with
+# timestamp ties and >24h gaps, checked against an independent pure-Python
+# last-touch reference (NOT the shared-design SQL oracle).
+
+_attr_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 3000),  # minute (spans past the 1440-min lookback)
+        st.integers(0, 2),  # 0=view 1=click 2=purchase
+        st.integers(0, 7),  # props k
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_attr_events_strategy)
+def test_attribution_matches_python_reference(pb_spark, events):
+    import os
+    import tempfile
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.behavior import (
+        _ATTR_CHANNELS,
+        q_event_attribution,
+    )
+
+    spark = pb_spark
+    types = ("view", "click", "purchase")
+    rows = [
+        (i, BASE + timedelta(minutes=m), u, types[t], float(k) + 0.5, k)
+        for i, (u, m, t, k) in enumerate(events)
+    ]
+    d = tempfile.mkdtemp(prefix="aub_attrprop_")
+    spark.createDataFrame(
+        [(i, ts, u, et, v, '{"k": %d}' % k) for i, ts, u, et, v, k in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+    # independent reference: linear scan per user over the (ts, event_id)
+    # total order, inclusive 24h lookback
+    ref: dict[str, list] = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r[2], []).append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        last = None  # (ts, channel)
+        for eid, ts, u, et, v, k in evs:
+            if et in ("view", "click"):
+                last = (ts, _ATTR_CHANNELS[k % 4])
+            elif et == "purchase":
+                ch = "organic"
+                if last is not None and ts - last[0] <= timedelta(hours=24):
+                    ch = last[1]
+                agg = ref.setdefault(ch, [0, 0.0])
+                agg[0] += 1
+                agg[1] += v
+    want = {ch: (n, pytest.approx(rev)) for ch, (n, rev) in ref.items()}
+
+    got = {
+        r["channel"]: (r["conversions"], r["revenue"])
+        for r in q_event_attribution(spark, d).collect()
+    }
+    assert got == want
