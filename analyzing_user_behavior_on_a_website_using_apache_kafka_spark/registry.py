@@ -46,6 +46,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Query families for the window-coverage invariant: every externally
+# checked 50-key window keeps >=1 representative of each family, so a
+# regression in a family surfaces within one driver round
+# (tests/test_registry.py::test_every_family_inside_checked_window;
+# tools/propose_window.py pins a member when rules 1-4 leave one out).
+# Each entry maps a family name to its str.startswith() prefix tuple —
+# the single source of truth (the test and the proposer previously each
+# carried a mirror, and the mirrors drifted from the documented intent:
+# the "udaf/udtf" family was written as the bare prefix "q_uda", which
+# matches q_udaf_grouped but NOT q_udtf_*, silently shrinking the family
+# to one member).  Family sizes are load-bearing: at the 150-key
+# rotation capacity (3 x 50-key windows, <=3-round staleness) steady
+# state partitions the registry into three disjoint windows, so a
+# family with fewer than three members cannot keep a representative in
+# every window — a one-member family would force a re-check every
+# round, overcommitting the check budget by two slots per cycle
+# (tests/test_registry.py::test_family_sizes_support_rotation_capacity).
+FAMILIES: dict[str, tuple[str, ...]] = {
+    "win": ("q_win_",),
+    "udf": ("q_udf_",),
+    "udaf/udtf": ("q_udaf_", "q_udtf_"),
+    "dedup": ("q_dedup_",),
+    "text": ("q_text_",),
+    "multimodal": ("q_multimodal_",),
+    "sim": ("q_sim_",),
+    "stream": ("q_stream_",),
+    "sql": ("q_sql_",),
+    "agg": ("q_agg_",),
+    "join": ("q_join_",),
+    "source": ("q_source_",),
+    "sample": ("q_sample_",),
+    "sink": ("q_sink_",),
+}
+
+
 # The external correctness harness checks queries in registration order and
 # may cap how many it verifies per run (round 1 checked exactly the first
 # 50).  Emission order is therefore part of the driver contract: this list

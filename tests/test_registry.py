@@ -16,22 +16,13 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.registry impo
     _PRIORITY,
 )
 
-FAMILIES = (
-    "q_win_",
-    "q_udf_",
-    "q_uda",  # udaf/udtf
-    "q_dedup_",
-    "q_text_",
-    "q_multimodal_",
-    "q_sim_",
-    "q_stream_",
-    "q_sql_",
-    "q_agg_",
-    "q_join_",
-    "q_source_",
-    "q_sample_",
-    "q_sink_",
-)
+# Single source of truth: registry.FAMILIES (name -> startswith-prefix
+# tuple).  This module used to carry its own mirror tuple, and the
+# mirror drifted from intent — "q_uda" was commented "udaf/udtf" but as
+# a bare prefix matched only q_udaf_grouped, making it a one-member
+# family that (a) forced a window pin every round and (b) made rotation
+# at the 150-key capacity infeasible (see the registry comment).
+FAMILIES = registry.FAMILIES
 
 
 def test_priority_window_is_exactly_50():
@@ -49,10 +40,33 @@ def test_priority_names_emit_first_and_exist():
 
 def test_every_family_inside_checked_window():
     first50 = list(registry.all_queries())[:50]
-    for fam in FAMILIES:
-        assert any(n.startswith(fam) for n in first50), (
+    for fam, prefixes in FAMILIES.items():
+        assert any(n.startswith(prefixes) for n in first50), (
             f"family {fam} has no representative in the externally-"
             "checked window"
+        )
+
+
+def test_family_sizes_support_rotation_capacity():
+    """Steady-state rotation partitions the registry into
+    ceil(N / 50) disjoint 50-key windows (at the 150-key capacity the
+    partition is exact, with zero slack).  A family with fewer members
+    than partitions cannot keep a representative in EVERY window
+    without re-checking some member early, and each early re-check
+    overcommits the fixed 50-checks-per-round budget — at exact
+    capacity that is an immediate staleness-bound violation.  So the
+    family invariant is only satisfiable if every family has at least
+    one member per partition.  Guard it at registration time rather
+    than discovering it as an infeasible window two rounds later."""
+    names = list(registry.all_queries())
+    partitions = -(-len(names) // len(_PRIORITY))  # ceil
+    for fam, prefixes in FAMILIES.items():
+        members = [n for n in names if n.startswith(prefixes)]
+        assert len(members) >= partitions, (
+            f"family {fam} has {len(members)} member(s) "
+            f"{members} but rotation needs >= {partitions} (one per "
+            "steady-state window partition) — add members or merge "
+            "the family"
         )
 
 
@@ -187,11 +201,99 @@ def test_window_proposer_satisfies_rotation_rules():
     assert any("exceed" in w for w in warnings)
 
 
+def test_window_proposer_slips_at_bound_overflow_family_safely():
+    """The r8 capacity lesson (q_agg_collect/q_agg_cube), mechanical:
+    when mandatory keys overflow the window, AT-bound keys (staleness
+    exactly 3 after the next round — legal) slip to the round after
+    and are reported as hard leads there.  Never slipped: --changed
+    keys, never-checked keys, and a family's sole in-window rep."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from propose_window import propose
+
+    names = [f"q_agg_{i:03d}" for i in range(8)] + ["q_win_solo", "q_new"]
+    # next round = 7; last r4 == staleness exactly 3 -> AT the bound
+    last = {n: 4 for n in names if n != "q_new"}
+    picked, warnings = propose(
+        names, last, latest_round=6, changed=["q_agg_000"], window=8
+    )
+    keys = [k for k, _ in picked]
+    assert len(keys) == 8
+    assert not any("exceed" in w for w in warnings), warnings
+    notes = [w for w in warnings if "slipped" in w]
+    assert len(notes) == 1, warnings
+    # 9 at-bound + 1 never-checked = 10 mandatory for 8 slots -> 2
+    # slips; changed, never-checked and the sole q_win_ rep survive
+    assert "q_agg_000" in keys and "q_new" in keys and "q_win_solo" in keys
+    slipped = [k for k in names if k not in keys]
+    assert len(slipped) == 2
+    assert all(k.startswith("q_agg_") for k in slipped)
+    assert all(k in notes[0] for k in slipped)
+    # a slip load larger than one whole window is NOT slippable — it
+    # could never be absorbed next round; report capacity violation
+    wide = {f"q_agg_{i:03d}": 4 for i in range(30)}
+    _, warnings = propose(
+        sorted(wide), wide, latest_round=6, changed=[], window=8
+    )
+    assert any("exceed" in w for w in warnings), warnings
+
+
+def test_rotation_remains_feasible_three_rounds_ahead():
+    """The registry saturates rotation capacity exactly (150 keys =
+    3 disjoint 50-key windows, zero slack), so a composition mistake
+    shows up not in THIS window but one or two rounds later, when no
+    legal window exists any more.  Project forward from the current
+    repo state: the next driver round checks the pasted _PRIORITY
+    window verbatim; each subsequent window comes from the proposer
+    (staged keys register in the first projected round).  Three
+    projected rounds must compose without a capacity warning, cover
+    every family, and leave no key past the staleness bound.  This is
+    the guard that caught the one-member 'q_uda' family: with it, the
+    projection had no legal window two rounds out."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_coverage
+    import rotation_check
+    from propose_window import propose
+
+    last, latest = rotation_check.latest_checks("/root/repo")
+    if not last:
+        return  # fresh clone — no driver history to project from
+    sim = dict(last)
+    for k in _PRIORITY:  # the driver checks the pasted window next
+        sim[k] = latest + 1
+    names = sorted(set(registry.all_queries()) | gen_coverage._STAGED)
+    for step in (2, 3, 4):
+        picked, warnings = propose(
+            names, sim, latest_round=latest + step - 1, changed=[]
+        )
+        assert not any("exceed" in w for w in warnings), (step, warnings)
+        assert not any("unrepresented" in w for w in warnings), (
+            step,
+            warnings,
+        )
+        keys = [k for k, _ in picked]
+        assert len(keys) <= 50
+        for fam, prefixes in FAMILIES.items():
+            assert any(k.startswith(prefixes) for k in keys), (step, fam)
+        for k in keys:
+            sim[k] = latest + step
+    horizon = latest + 4
+    stale = {k: horizon - r for k, r in sim.items() if horizon - r > 3}
+    assert not stale, stale
+
+
 def test_window_proposer_pin_never_evicts_sole_family_rep():
-    """ADVICE r7: pinning family B must not evict the filler that is
-    the SOLE in-window representative of an already-satisfied family A.
-    Scenario: q_sim_x is the youngest filler AND its family's only
-    in-window key; the q_uda pin must evict an q_agg filler instead."""
+    """ADVICE r7: composing family B's pin must not cost family A its
+    SOLE in-window representative.  Originally enforced by a guarded
+    filler-eviction pass; now structural — pins are taken BEFORE
+    fillers, so a pin can never displace anything (ADVICE r8 flagged
+    the eviction order-dependence; the reorder removes the eviction
+    entirely).  Scenario: q_sim_x is the youngest key AND its family's
+    only member; both it and q_udaf_grouped must be in-window, with
+    the q_agg fillers absorbing the squeeze."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")

@@ -8,12 +8,20 @@ The composition rules that were applied by hand in rounds 4-7:
    re-verified) — pass them via --changed, they are placed FIRST;
 3. every key that would exceed the <=3-round staleness bound after the
    next round runs must be in-window (tools/rotation_check.py enforces
-   this invariant post-hoc; this tool satisfies it constructively);
-4. remaining slots fill with the OLDEST-checked keys (thins the next
+   this invariant post-hoc; this tool satisfies it constructively) —
+   keys that would sit at staleness EXACTLY 3 are taken too, but may
+   slip (rule 6) because the bound allows exactly 3;
+4. every query family (registry.FAMILIES) keeps at least one
+   representative in-window — a pin is as mandatory as a bound key,
+   so pins are taken before fillers;
+5. remaining slots fill with the OLDEST-checked keys (thins the next
    round's backlog);
-5. every query family (tests/test_registry.py FAMILIES) keeps at least
-   one representative in-window — if rules 1-4 left a family out, its
-   oldest-checked member replaces the youngest filler.
+6. when rules 1-4 overflow the window, AT-bound keys slip to the next
+   round (they sit at staleness exactly 3 — legal — and become hard
+   leads there; the r8 q_agg_collect/q_agg_cube resolution, now
+   mechanical).  Only keys that are not --changed and whose families
+   keep another in-window member are eligible; a slip load larger
+   than one whole window is reported as a capacity violation instead.
 
 Output: the proposed window as Python tuple source, with composition
 comments, ready to paste into registry._PRIORITY. The tool only
@@ -35,13 +43,9 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
 )
 from tools.rotation_check import WINDOW, latest_checks
 
-# mirror of tests/test_registry.py FAMILIES (import would drag pytest
-# fixtures; the registry test cross-checks the real list anyway)
-FAMILIES = (
-    "q_win_", "q_udf_", "q_uda", "q_dedup_", "q_text_",
-    "q_multimodal_", "q_sim_", "q_stream_", "q_sql_", "q_agg_",
-    "q_join_", "q_source_", "q_sample_", "q_sink_",
-)
+# Single source of truth for the family taxonomy (name -> prefix tuple);
+# tests/test_registry.py consumes the same dict.
+FAMILIES = registry.FAMILIES
 
 
 def propose(
@@ -70,20 +74,96 @@ def propose(
     for k in names:
         if k not in last:
             take(k, "never driver-checked")
-    # stale after next round: latest check older than next_round - 3
-    must = sorted(
-        (k for k in names if k in last and last[k] <= next_round - 3),
+    # PAST the bound after next round (staleness > 3): cannot slip.
+    # AT the bound (staleness exactly 3): legal to leave out — the key
+    # then becomes a hard-mandatory lead the round after (the r8
+    # q_agg_collect/q_agg_cube resolution, now mechanical, below).
+    hard = sorted(
+        (k for k in names if k in last and last[k] < next_round - 3),
         key=lambda k: (last[k], k),
     )
-    for k in must:
+    for k in hard:
+        take(k, f"past staleness bound (last r{last[k]})")
+    soft = sorted(
+        (k for k in names if k in last and last[k] == next_round - 3),
+        key=lambda k: k,
+    )
+    for k in soft:
         take(k, f"at staleness bound (last r{last[k]})")
-    if len(picked) > window:
-        warnings.append(
-            f"{len(picked)} mandatory keys exceed the {window}-key "
-            "window — the bound WILL be violated; split changes across "
-            "rounds or re-derive the feasible bound"
+    # family pins BEFORE fillers/overflow: coverage is an invariant
+    # (tests/test_registry.py), so a pin is as mandatory as a bound key
+    for fam, prefixes in FAMILIES.items():
+        if any(k.startswith(prefixes) for k in taken):
+            continue
+        member = next(
+            (
+                k
+                for k in sorted(
+                    names, key=lambda k: (last.get(k, -1), k)
+                )
+                if k.startswith(prefixes)
+            ),
+            None,
         )
-        return picked, warnings
+        if member is None:
+            continue  # family not in registry at all
+        take(member, f"family pin ({fam})")
+    if len(picked) > window:
+        # Resolve by slipping AT-bound keys to the next round, where
+        # they become hard leads.  Eligible: at-bound, not --changed,
+        # and every family the key represents keeps another in-window
+        # member (so the coverage invariant survives the slip).  The
+        # slipped load lands on the next window whole, so more slips
+        # than one window can absorb is a genuine capacity violation.
+        overflow = len(picked) - window
+        changed_set = set(changed)
+        slipped: list[str] = []
+        if overflow <= window:
+            while len(picked) > window:
+                in_window = [k for k, _ in picked]
+
+                def _fam_count(key: str) -> int:
+                    # family-less keys (q_event_*, q_pipeline_*, ...)
+                    # can never break coverage -> slip them first
+                    return min(
+                        (
+                            sum(1 for t in in_window if t.startswith(p))
+                            for p in FAMILIES.values()
+                            if key.startswith(p)
+                        ),
+                        default=len(in_window),
+                    )
+
+                eligible = [
+                    k
+                    for k, why in picked
+                    if why.startswith("at staleness bound")
+                    and k not in changed_set
+                    and _fam_count(k) >= 2
+                ]
+                if not eligible:
+                    break
+                # slip from the best-covered family first (safest),
+                # lexicographic within it (deterministic)
+                victim = max(eligible, key=lambda k: (_fam_count(k), k))
+                picked[:] = [(k, w) for k, w in picked if k != victim]
+                taken.discard(victim)
+                slipped.append(victim)
+        if len(picked) > window:
+            warnings.append(
+                f"{len(picked) + len(slipped)} mandatory keys exceed "
+                f"the {window}-key window — the bound WILL be "
+                "violated; split changes across rounds or re-derive "
+                "the feasible bound"
+            )
+            return picked, warnings
+        if slipped:
+            warnings.append(
+                "NOTE: at-bound keys slipped to "
+                f"r{next_round + 1} (staleness exactly 3 after "
+                f"r{next_round} — legal) and MUST lead that window: "
+                + ", ".join(sorted(slipped))
+            )
     # fillers: oldest-checked first
     fillers = sorted(
         (k for k in names if k not in taken and k in last),
@@ -92,53 +172,10 @@ def propose(
     while len(picked) < window and fillers:
         k = fillers.pop(0)
         take(k, f"backlog thinning (last r{last[k]})")
-    # family pins
-    for fam in FAMILIES:
-        if any(k.startswith(fam) for k in taken):
-            continue
-        member = next(
-            (
-                k
-                for k in sorted(
-                    names, key=lambda k: (last.get(k, -1), k)
-                )
-                if k.startswith(fam)
-            ),
-            None,
-        )
-        if member is None:
-            continue  # family not in registry at all
-        # evict the youngest filler to make room — but never one that is
-        # the SOLE in-window representative of its own family, or the pin
-        # for B would silently strip A's representation (ADVICE r7)
-        def _sole_rep(key: str) -> bool:
-            return any(
-                key.startswith(f)
-                and sum(1 for t in taken if t.startswith(f)) == 1
-                for f in FAMILIES
-            )
-
-        evict = next(
-            (
-                (key, why)
-                for key, why in reversed(picked)
-                if why.startswith("backlog thinning")
-                and not _sole_rep(key)
-            ),
-            None,
-        )
-        if evict is None:
-            warnings.append(
-                f"family {fam} unrepresented and no evictable filler"
-            )
-            continue
-        picked.remove(evict)
-        taken.discard(evict[0])
-        take(member, f"family pin ({fam})")
-    # belt-and-braces: re-check every family after all pins/evictions
-    for fam in FAMILIES:
-        if any(k.startswith(fam) for k in names) and not any(
-            k.startswith(fam) for k in taken
+    # belt-and-braces: re-check every family after pins + slips
+    for fam, prefixes in FAMILIES.items():
+        if any(k.startswith(prefixes) for k in names) and not any(
+            k.startswith(prefixes) for k in taken
         ):
             warnings.append(
                 f"family {fam} left unrepresented after pin loop"
