@@ -101,11 +101,21 @@ _PRIORITY: tuple[str, ...] = (
     # keys left out sit at staleness exactly 3 = the feasible bound, so
     # the overflow resolves by dropping TWO r5 keys (q_agg_collect,
     # q_agg_cube — q_agg_ keeps five other in-window reps) which become
-    # MANDATORY r9 leads alongside the 45 r6-at-bound keys (47 <= 50:
-    # feasible).  The r6 filler slot is evicted.  Any key whose served
-    # plan changes must be promoted to the FRONT (re-run the proposer
-    # with --changed).  Steady state: 149 keys / 50-key windows, <=3
-    # round staleness, enforced by tools/rotation_check.py.
+    # MANDATORY r9 leads.  The r6 filler slot is evicted.  Any key whose
+    # served plan changes must be promoted to the FRONT (re-run the
+    # proposer with --changed).  Steady state: 150 keys / 50-key
+    # windows / <=3-round staleness is EXACT capacity — the projected
+    # r9-r11 schedule (proposer dry-run against this window, late r8;
+    # standing guard: tests/test_registry.py::
+    # test_rotation_remains_feasible_three_rounds_ahead):
+    #   r9  = collect + cube + q_event_attribution (registers r9) +
+    #         47 of the 49 r6-checked keys; q_pipeline_curate and
+    #         q_path_topk slip (staleness exactly 3 — legal);
+    #   r10 = the 2 slipped + 47 of 48 r7-checked + q_udaf_grouped
+    #         (udaf/udtf family pin); q_subquery_scalar slips;
+    #   r11 = q_subquery_scalar + the 49 r8 keys not re-checked since;
+    # thereafter the three windows repeat as disjoint partitions.
+    # Enforced by tools/rotation_check.py + the projection test.
     # --- changed this round ---
     "q_dedup_clusters",
     "q_dedup_editdist",
