@@ -696,3 +696,65 @@ def test_attribution_matches_python_reference(pb_spark, events):
         for r in q_event_attribution(spark, d).collect()
     }
     assert got == want
+
+
+# Tiny alphabet + sub-word-width window: shared spans, within-doc-only
+# repeats and sub-width docs all occur constantly — the regimes where
+# the postings pipeline (explode -> distinct-doc freq -> join-back)
+# could silently diverge from the ExactSubstr definition.
+_substr_docs_strategy = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=7),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_substr_docs_strategy)
+def test_substring_dup_stats_match_python_reference(pb_spark, docs):
+    """q_dedup_substring core vs the literal Lee-et-al definition: a
+    k-word window is a duplicated span iff its exact text occurs in
+    >= 2 DISTINCT documents.  The constructed-corpus test pins chosen
+    shapes; this drives random ones, in particular windows repeated
+    several times WITHIN one document only (not duplicates — the
+    distinct-doc frequency must not count multiplicity) and every
+    occurrence of a cross-doc span counting on all sides."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        substring_dup_stats,
+    )
+
+    k = 2  # narrow width so 7-token docs over {a,b,c} collide often
+    spark = pb_spark
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in substring_dup_stats(df, k=k).collect()}
+
+    windows: dict[int, list[str]] = {
+        i: [
+            " ".join(toks[j : j + k])
+            for j in range(len(toks) - k + 1)
+        ]
+        if len(toks) >= k
+        else []
+        for i, toks in enumerate(docs)
+    }
+    owners: dict[str, set[int]] = {}
+    for i, ws in windows.items():
+        for w in ws:
+            owners.setdefault(w, set()).add(i)
+
+    assert set(got) == set(windows)  # one row per document, always
+    for i, ws in windows.items():
+        nd = sum(1 for w in ws if len(owners[w]) > 1)
+        r = got[i]
+        assert r["n_shingles"] == len(ws), (i, docs)
+        assert r["n_dup_shingles"] == nd, (i, docs)
+        assert r["has_dup_span"] == (1 if nd else 0), (i, docs)
+        want_frac = round(nd / len(ws), 6) if ws else 0.0
+        assert r["dup_span_frac"] == pytest.approx(want_frac), (i, docs)
