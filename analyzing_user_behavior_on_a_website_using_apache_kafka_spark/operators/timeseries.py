@@ -228,6 +228,15 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes equal.
     """
     base = hourly_base(spark, sf_dir).select("h", "event_type", "v")
+    return interpolate_series(base)
+
+
+def interpolate_series(base: DataFrame) -> DataFrame:
+    """Core linear-gap interpolation over any ``(h, event_type, v)``
+    relation — separated from the registered query (which feeds it the
+    persisted ``hourly_base``) so property tests can drive constructed
+    sparse series: single observation, leading/trailing gap runs,
+    uneven bracketing distances, types absent from whole grid spans."""
     joined = _calendar_grid(base).join(base, ["h", "event_type"], "left")
     w = W.partitionBy("event_type").orderBy("h")
     obs = F.when(

@@ -758,3 +758,81 @@ def test_substring_dup_stats_match_python_reference(pb_spark, docs):
         assert r["has_dup_span"] == (1 if nd else 0), (i, docs)
         want_frac = round(nd / len(ws), 6) if ws else 0.0
         assert r["dup_span_frac"] == pytest.approx(want_frac), (i, docs)
+
+
+# Sparse (type, hour, value) observations: leading/trailing gap runs,
+# single-observation types and uneven bracketing distances all occur —
+# the regimes where the bracketing-window composition (last/first
+# ignorenulls over the calendar grid) could diverge from the plain
+# per-type linear-interpolation definition.
+_interp_series_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # event_type
+        st.integers(0, 40),  # hour offset
+        st.integers(0, 100),  # quarter-value
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=_interp_series_strategy)
+def test_interpolate_series_matches_python_reference(pb_spark, points):
+    """q_time_interpolate core vs the obvious per-type definition:
+    known hours keep their value, interior gaps interpolate linearly
+    between the bracketing observations on epoch seconds, and hours
+    before the first / after the last observation take the nearest
+    edge value.  The grid spans the GLOBAL min..max hour crossed with
+    every observed type, so a type can be a gap across whole spans it
+    never observed."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.timeseries import (
+        interpolate_series,
+    )
+
+    spark = pb_spark
+    known: dict[tuple[int, int], float] = {}
+    for t, hh, q in points:
+        known.setdefault((t, hh), q / 4.0)
+    base = spark.createDataFrame(
+        [
+            (BASE + timedelta(hours=hh), f"t{t}", v)
+            for (t, hh), v in known.items()
+        ],
+        "h timestamp, event_type string, v double",
+    )
+    got = {
+        (r["event_type"], r["hour_iso"]): (r["v_fill"], r["is_gap"])
+        for r in interpolate_series(base).collect()
+    }
+
+    lo = min(hh for _, hh in known)
+    hi = max(hh for _, hh in known)
+    types = sorted({t for t, _ in known})
+    want = {}
+    for t in types:
+        obs = sorted(hh for tt, hh in known if tt == t)
+        for hh in range(lo, hi + 1):
+            key = (f"t{t}", (BASE + timedelta(hours=hh)).strftime("%Y-%m-%d %H:00"))
+            if (t, hh) in known:
+                want[key] = (known[(t, hh)], False)
+                continue
+            prevs = [o for o in obs if o < hh]
+            nxts = [o for o in obs if o > hh]
+            if prevs and nxts:
+                p, n = max(prevs), min(nxts)
+                pv, nv = known[(t, p)], known[(t, n)]
+                v = pv + (nv - pv) * (hh - p) / (n - p)
+            elif prevs:
+                v = known[(t, max(prevs))]
+            else:
+                v = known[(t, min(nxts))]
+            want[key] = (v, True)
+    assert set(got) == set(want)
+    for key, (v, gap) in want.items():
+        assert got[key][1] == gap, (key, points)
+        assert got[key][0] == pytest.approx(v, abs=1e-6), (key, points)
