@@ -256,13 +256,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a distributed scan/prefix-sum: local fold + offsets of fold
     totals.)
     """
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     tok = d.select(
         "doc_id", "source", F.size(words).cast("bigint").alias("n_tokens")
     )
+    return pack_token_stream(tok)
+
+
+def pack_token_stream(
+    tok: DataFrame, budget: int = _PACK_BUDGET
+) -> DataFrame:
+    """Core two-phase prefix-sum packing over any ``(doc_id, source,
+    n_tokens)`` relation — separated from the registered query (which
+    feeds it the tokenized documents at the production budget) so
+    property tests can drive constructed corpora at tiny budgets:
+    budget-boundary documents, exact-multiple sources, single-source
+    skew."""
+    from pyspark.sql import Window as W
+
     ws = (
         W.partitionBy("source")
         .orderBy("doc_id")
@@ -275,7 +287,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.coalesce(F.sum("stot").over(wo), F.lit(0)).alias("off")
     )
     cum = F.col("off") + F.col("scum")
-    b = F.lit(_PACK_BUDGET)
+    b = F.lit(budget)
     first_seq = F.floor((cum - F.col("n_tokens")) / b).cast("bigint")
     last_seq = F.floor((cum - 1) / b).cast("bigint")
     return local.join(F.broadcast(offsets), "source").select(

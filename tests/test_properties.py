@@ -836,3 +836,57 @@ def test_interpolate_series_matches_python_reference(pb_spark, points):
     for key, (v, gap) in want.items():
         assert got[key][1] == gap, (key, points)
         assert got[key][0] == pytest.approx(v, abs=1e-6), (key, points)
+
+
+# Token counts drawn around the tiny budget (7) so documents regularly
+# land exactly on, just under and just over sequence boundaries, and
+# whole sources sum to exact budget multiples — the off-by-one regimes
+# of the two-phase (per-source running sum + offset-of-totals)
+# distributed prefix sum.
+_pack_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # source
+        st.sampled_from([1, 2, 6, 7, 8, 13, 14, 21]),  # n_tokens
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_pack_docs_strategy)
+def test_pack_token_stream_matches_sequential_fold(pb_spark, docs):
+    """q_pack_sequences core vs the sequential definition: concatenate
+    documents in (source, doc_id) order and tile the stream into
+    budget-token sequences — each document's first/last sequence ids
+    and boundary-split count must equal a plain running-total fold.
+    The fixture test pins tiling invariants on real data; this pins
+    the two-phase prefix-sum against the one-reducer semantics it
+    replaces, where any offset error shows up as a shifted seq id."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sampling import (
+        pack_token_stream,
+    )
+
+    budget = 7
+    spark = pb_spark
+    rows = [(i, f"s{s}", n) for i, (s, n) in enumerate(docs)]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    ).repartition(4)  # prefix-sum correctness must not depend on layout
+    got = {
+        r["doc_id"]: (r["first_seq"], r["last_seq"], r["n_splits"])
+        for r in pack_token_stream(tok, budget=budget).collect()
+    }
+
+    cum = 0
+    want = {}
+    for i, src, n in sorted(rows, key=lambda r: (r[1], r[0])):
+        first = cum // budget
+        cum += n
+        last = (cum - 1) // budget
+        want[i] = (first, last, last - first)
+    assert got == want, docs
