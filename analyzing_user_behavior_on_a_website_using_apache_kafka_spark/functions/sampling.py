@@ -154,7 +154,15 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the ``_CACHE_OWNERSHIP`` contract in ``functions/dedup.py``
     (slim O(languages) rows; ``session.evict_caches`` clears it).
     """
-    d = load_table(spark, sf_dir, "documents")
+    return temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+def temperature_sample(d: DataFrame) -> DataFrame:
+    """Core temperature resampling over any ``(doc_id, lang, text)``
+    relation — separated from the registered query so property tests
+    can drive constructed corpora (skewed language mixes, duplicate
+    texts within and across languages) against an exact Python mirror
+    of the alpha-mixture arithmetic and the md5 ppm-bucket rule."""
     c = (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))

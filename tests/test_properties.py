@@ -890,3 +890,75 @@ def test_pack_token_stream_matches_sequential_fold(pb_spark, docs):
         last = (cum - 1) // budget
         want[i] = (first, last, last - first)
     assert got == want, docs
+
+
+# Language mixes from skewed to uniform, with duplicate texts within
+# and across languages — the regimes where the alpha-mixture rates and
+# the content-hash membership rule interact (duplicates must decide
+# identically; the scarcest up-weighted language is consumed whole).
+_temp_docs_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)),  # (lang, word id)
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_temp_docs_strategy)
+def test_temperature_sample_matches_python_mirror(pb_spark, docs):
+    """q_sample_temperature core vs an exact Python mirror: per-lang
+    counts -> sqrt-share (alpha = 0.5) -> cap at the scarcest
+    up-weighted language -> integer ppm thresholds (HALF_UP, like
+    Spark's round) -> md5-first-8-hex ppm bucket membership.  The
+    double arithmetic is mirrored operation-for-operation in the same
+    association order, so the only conceivable divergence is a sum
+    re-ordering ulp landing exactly on a .5-ppm rounding boundary —
+    not reachable from integer counts this size."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from hashlib import md5
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sampling import (
+        _PPM,
+        temperature_sample,
+    )
+
+    spark = pb_spark
+    rows = [
+        (i, f"l{g}", f"w{w} of lang {g}") for i, (g, w) in enumerate(docs)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(d).collect()
+    }
+
+    counts: dict[str, int] = {}
+    for _, lang, _t in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    tot = sum(math.sqrt(n) for _, n in sorted(counts.items()))
+    ql = {lang: math.sqrt(n) / tot for lang, n in counts.items()}
+    cap = min(n / ql[lang] for lang, n in counts.items())
+    thr = {
+        lang: int(
+            Decimal(cap * ql[lang] / n * _PPM).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+        for lang, n in counts.items()
+    }
+    want = {
+        (i, lang)
+        for i, lang, text in rows
+        if int(md5(text.encode()).hexdigest()[:8], 16) % _PPM < thr[lang]
+    }
+    assert got == want, (docs, thr)
+    # the scarcest up-weighted language is consumed whole by design
+    argmin = min(counts, key=lambda l: counts[l] / ql[l])
+    assert {i for i, l, _ in rows if l == argmin} <= {
+        i for i, l in want
+    }, (docs, thr)
