@@ -85,7 +85,14 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, map-only, and (because lower buckets nest) a rate
     INCREASE only ADDS documents — previous members never churn out.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+def mixture_sample(d: DataFrame) -> DataFrame:
+    """Core mixture rule over any ``(doc_id, source, text)`` relation —
+    separated from the registered query so property tests can drive
+    constructed corpora against a Python mirror of the per-source rate
+    table and the md5 bucket rule."""
     rate = (
         F.when(F.col("source") == "src0", 100)
         .when(F.col("source") == "src1", 50)
@@ -345,12 +352,23 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected), and membership is hash-deterministic across runs,
     engines, and backfills like every sampler in this module.
     """
-    from pyspark.sql import Window as W
-
-    k = _STRAT_K
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    return stratified_sample(d)
+
+
+def stratified_sample(d: DataFrame, k: int = _STRAT_K) -> DataFrame:
+    """Core exact-k stratified sample over any ``(doc_id, source,
+    text)`` relation — separated from the registered query so property
+    tests can drive constructed corpora at small k against the plain
+    per-source (bucket, md5, doc_id) ranking definition.  The result
+    is rank-defined and therefore IDENTICAL whichever internal path
+    ran — adaptive pre-thinning or the under-thinned full-source
+    fallback — which is exactly what a property test must pin before
+    the r9 persist rework of the internals."""
+    from pyspark.sql import Window as W
+
     d2 = d.withColumn("b", hash_bucket(F.col("text")))
     totals = d2.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     rates = totals.select(

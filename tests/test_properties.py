@@ -962,3 +962,90 @@ def test_temperature_sample_matches_python_mirror(pb_spark, docs):
     assert {i for i, l, _ in rows if l == argmin} <= {
         i for i, l in want
     }, (docs, thr)
+
+
+# At k=1..3 with ~2-30 docs per source the adaptive pre-thinning rate
+# drops below 100, so BOTH internal paths run across examples: sources
+# whose low buckets survive the thin, and (Chernoff-tail) sources that
+# under-thin and fall back to their full rows.  The rank definition is
+# path-independent; the reference computes it directly.
+_strat_docs_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60)),  # (source, word)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_strat_docs_strategy, k=st.sampled_from([1, 2, 3]))
+def test_stratified_sample_matches_rank_definition(pb_spark, docs, k):
+    """q_sample_stratified core vs the plain definition: per source,
+    the first min(k, n) documents in (md5-bucket, md5-hex, doc_id)
+    order with their 1-based rank — regardless of which internal
+    route (pre-thin or fallback) produced them.  Duplicate texts tie
+    on bucket AND hash and must resolve by doc_id."""
+    from hashlib import md5
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    spark = pb_spark
+    rows = [(i, f"src{s}", f"w{w}") for i, (s, w) in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["doc_id"], r["source"], r["rk"])
+        for r in stratified_sample(d, k=k).collect()
+    }
+
+    want = set()
+    for src in {s for _, s, _ in rows}:
+        members = [
+            (
+                int(md5(t.encode()).hexdigest()[:8], 16) % 100,
+                md5(t.encode()).hexdigest(),
+                i,
+            )
+            for i, s, t in rows
+            if s == src
+        ]
+        members.sort()
+        for rk, (_b, _h, i) in enumerate(members[:k], start=1):
+            want.add((i, src, rk))
+    assert got == want, (docs, k)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_strat_docs_strategy)
+def test_mixture_sample_matches_rate_table(pb_spark, docs):
+    """q_sample_mixture core vs the literal per-source rate table on
+    the same md5 percent buckets: src0 keeps everything, src1 keeps
+    buckets < 50, the tail keeps buckets < 10 — and duplicate texts
+    decide identically everywhere."""
+    from hashlib import md5
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    spark = pb_spark
+    rows = [(i, f"src{s}", f"w{w}") for i, (s, w) in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["doc_id"], r["source"]) for r in mixture_sample(d).collect()
+    }
+    rates = {"src0": 100, "src1": 50, "src2": 10}
+    want = {
+        (i, s)
+        for i, s, t in rows
+        if int(md5(t.encode()).hexdigest()[:8], 16) % 100 < rates[s]
+    }
+    assert got == want, docs
