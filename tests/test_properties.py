@@ -1049,3 +1049,61 @@ def test_mixture_sample_matches_rate_table(pb_spark, docs):
         if int(md5(t.encode()).hexdigest()[:8], 16) % 100 < rates[s]
     }
     assert got == want, docs
+
+
+# Token streams with repeats and occasional empty tokens (double
+# spaces survive split() identically in both engines); width-5
+# shingles over a small vocabulary land in bucket 0 often enough that
+# multi-chunk documents are routine.
+_chunk_docs_strategy = st.lists(
+    st.lists(st.integers(0, 11), min_size=0, max_size=20),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_chunk_docs_strategy)
+def test_chunk_tokens_match_python_reference(pb_spark, docs):
+    """q_text_chunk core vs the literal CDC definition: token i starts
+    a boundary iff its width-W shingle exists (i <= n-W+1) and the
+    shingle's md5-first-8-hex lands in bucket 0 of D; chunk sizes are
+    the run lengths of the boundary prefix sum.  The edit-stability
+    test pins the CDC property; this pins the exact segmentation,
+    including sub-width documents (one chunk) and empty-token runs."""
+    from hashlib import md5
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.text import (
+        _CHUNK_D,
+        _SHINGLE_W,
+        chunk_tokens,
+    )
+
+    spark = pb_spark
+    # word id 11 becomes the empty token -> consecutive spaces in text
+    rows = [
+        (i, " ".join("" if w == 11 else f"w{w}" for w in ws))
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_no"]): r["n_tokens"]
+        for r in chunk_tokens(df).collect()
+    }
+
+    want = {}
+    for i, text in rows:
+        words = text.split(" ")
+        n = len(words)
+        chunk = 0
+        for pos in range(n):
+            if pos + 1 <= n - _SHINGLE_W + 1:
+                sh = " ".join(words[pos : pos + _SHINGLE_W])
+                if int(md5(sh.encode()).hexdigest()[:8], 16) % _CHUNK_D == 0:
+                    chunk += 1
+            want[(i, chunk)] = want.get((i, chunk), 0) + 1
+    assert got == want, docs
