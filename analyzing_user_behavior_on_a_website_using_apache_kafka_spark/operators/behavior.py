@@ -96,7 +96,15 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel report. Strictly-after (`>`) matches the session-gap
     convention verified for `q_stream_session`.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Core funnel over any ``(user_id, event_type, ts)`` relation —
+    separated from the registered query so property tests can drive
+    constructed tie-heavy streams: the strictly-after (``>``) layer
+    conditions are exactly where a ``>=`` slip or a null-propagation
+    mistake would hide, and the fixture's timestamps rarely collide."""
     per_user_w = W.partitionBy("user_id")
     l1 = ev.select(
         "user_id",

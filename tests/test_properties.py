@@ -1107,3 +1107,80 @@ def test_chunk_tokens_match_python_reference(pb_spark, docs):
                     chunk += 1
             want[(i, chunk)] = want.get((i, chunk), 0) + 1
     assert got == want, docs
+
+
+# Few users, a handful of minutes, three event types: timestamp ties
+# within and across types are routine, which is exactly where the
+# funnel's strictly-after layer conditions (> not >=) live.
+_funnel_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 5),  # minute
+        st.integers(0, 2),  # 0=view 1=click 2=purchase
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_funnel_events_strategy)
+def test_funnel_stages_match_python_fold(pb_spark, events):
+    """q_funnel_conversion core vs the literal layered definition:
+    t_view = first view; t_click = first click STRICTLY after t_view;
+    t_purchase = first purchase STRICTLY after t_click; stage counts
+    and ratios follow.  A click at exactly t_view (or a purchase at
+    exactly t_click) must NOT advance the funnel."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.behavior import (
+        funnel_stages,
+    )
+
+    spark = pb_spark
+    types = ("view", "click", "purchase")
+    df = spark.createDataFrame(
+        [
+            (u, types[t], BASE + timedelta(minutes=m))
+            for u, m, t in events
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["stage"]: (r["n_users"], r["pct_of_prev"])
+        for r in funnel_stages(df).collect()
+    }
+
+    users = {u for u, _, _ in events}
+    n_view = n_click = n_purchase = 0
+    for u in users:
+        mine = [(m, t) for uu, m, t in events if uu == u]
+        views = [m for m, t in mine if t == 0]
+        if not views:
+            continue
+        n_view += 1
+        t_view = min(views)
+        clicks = [m for m, t in mine if t == 1 and m > t_view]
+        if not clicks:
+            continue
+        n_click += 1
+        t_click = min(clicks)
+        if any(m > t_click for m, t in mine if t == 2):
+            n_purchase += 1
+    n_total = len(users)
+    want = {
+        1: (n_view, pytest.approx(round(n_view / n_total, 6))),
+        2: (
+            n_click,
+            pytest.approx(round(n_click / n_view, 6)) if n_view else None,
+        ),
+        3: (
+            n_purchase,
+            pytest.approx(round(n_purchase / n_click, 6))
+            if n_click
+            else None,
+        ),
+    }
+    assert got == want, events
