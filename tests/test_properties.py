@@ -1184,3 +1184,131 @@ def test_funnel_stages_match_python_fold(pb_spark, events):
         ),
     }
     assert got == want, events
+
+
+# Few users and minutes over three event types: identical timestamps
+# within a user are routine, so every (ts, event_id) tie-break in the
+# shared clickstream total order is exercised — transitions, dwell and
+# trigram paths must all read the SAME deterministic sequence.
+_seq_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 8),  # minute
+        st.integers(0, 2),  # 0=view 1=click 2=purchase
+    ),
+    min_size=3,
+    max_size=22,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_seq_events_strategy)
+def test_total_order_sequence_queries_match_python(pb_spark, events):
+    """q_event_transitions / q_event_dwell / q_path_topk vs one Python
+    reference over the (ts, event_id) per-user total order.  With
+    heavy timestamp ties the lead-1/lead-2 sequences are only
+    deterministic because of the event_id tie-break — all three
+    queries must agree with the reference's single sorted pass."""
+    import os
+    import tempfile
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+        registry,
+    )
+
+    spark = pb_spark
+    types = ("view", "click", "purchase")
+    rows = [
+        (i, BASE + timedelta(minutes=m), u, types[t], 1.0, "{}")
+        for i, (u, m, t) in enumerate(events)
+    ]
+    d = tempfile.mkdtemp(prefix="aub_seqprop_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    qs = registry.all_queries()
+
+    # one sorted pass builds every per-user sequence
+    by_user: dict[int, list] = {}
+    for eid, ts, u, et, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    seqs = {
+        u: [et for _ts, _eid, et in sorted(evs)]
+        for u, evs in by_user.items()
+    }
+    times = {
+        u: [ts for ts, _eid, _et in sorted(evs)]
+        for u, evs in by_user.items()
+    }
+
+    # transitions
+    pair_n: dict[tuple[str, str], int] = {}
+    for u, s in seqs.items():
+        for a, b in zip(s, s[1:]):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    src_tot: dict[str, int] = {}
+    for (a, _b), n in pair_n.items():
+        src_tot[a] = src_tot.get(a, 0) + n
+    want_tr = {
+        (a, b): (n, pytest.approx(round(n / src_tot[a], 6)))
+        for (a, b), n in pair_n.items()
+    }
+    got_tr = {
+        (r["src"], r["dst"]): (r["n"], r["p_transition"])
+        for r in qs["q_event_transitions"](spark, d).collect()
+    }
+    assert got_tr == want_tr, events
+
+    # dwell
+    def qlin(vals, q):
+        vals = sorted(vals)
+        pos = q * (len(vals) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+
+    dw: dict[str, list[int]] = {}
+    for u, s in seqs.items():
+        ts = times[u]
+        for i in range(len(s) - 1):
+            ms = int((ts[i + 1] - ts[i]).total_seconds() * 1000)
+            dw.setdefault(s[i], []).append(ms)
+    want_dw = {
+        et: (
+            len(v),
+            pytest.approx(round(sum(v) / len(v), 4)),
+            pytest.approx(round(qlin(v, 0.5), 4)),
+            pytest.approx(round(qlin(v, 0.95), 4)),
+        )
+        for et, v in dw.items()
+    }
+    got_dw = {
+        r["event_type"]: (
+            r["n"],
+            r["avg_dwell_ms"],
+            r["p50_dwell_ms"],
+            r["p95_dwell_ms"],
+        )
+        for r in qs["q_event_dwell"](spark, d).collect()
+    }
+    assert got_dw == want_dw, events
+
+    # top-10 trigram paths, (n DESC, path ASC) total order
+    tri: dict[str, int] = {}
+    for u, s in seqs.items():
+        for i in range(len(s) - 2):
+            p = ">".join(s[i : i + 3])
+            tri[p] = tri.get(p, 0) + 1
+    want_paths = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_paths = [
+        (r["path"], r["n"]) for r in qs["q_path_topk"](spark, d).collect()
+    ]
+    assert got_paths == want_paths, events
