@@ -1312,3 +1312,102 @@ def test_total_order_sequence_queries_match_python(pb_spark, events):
         (r["path"], r["n"]) for r in qs["q_path_topk"](spark, d).collect()
     ]
     assert got_paths == want_paths, events
+
+
+# Users first seen on scattered days with activity spread over ~3
+# weeks: day boundaries, week-offset floors and the
+# distinct-user-per-(cohort, offset) rule all get exercised.
+_cohort_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 20),  # day offset
+        st.integers(0, 23),  # hour
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_cohort_events_strategy)
+def test_cohort_and_growth_match_python_reference(pb_spark, events):
+    """q_cohort_retention / q_growth_accounting vs one Python pass over
+    the same stream: cohort = first-seen DAY (not timestamp), week
+    offsets floor day-diff / 7, retention counts DISTINCT users per
+    (cohort, offset); growth counts per-day actives, first-day news and
+    the running distinct-user total over the observed day sequence."""
+    import os
+    import tempfile
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+        registry,
+    )
+
+    spark = pb_spark
+    rows = [
+        (i, BASE + timedelta(days=dd, hours=hh), u, "view", 1.0, "{}")
+        for i, (u, dd, hh) in enumerate(events)
+    ]
+    d = tempfile.mkdtemp(prefix="aub_cohortprop_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    qs = registry.all_queries()
+
+    days = {}  # user -> set of day offsets
+    for _i, ts, u, _et, _v, _p in rows:
+        days.setdefault(u, set()).add((ts.date() - BASE.date()).days)
+    first = {u: min(ds) for u, ds in days.items()}
+
+    # cohort retention
+    cells: dict[tuple[int, int], set[int]] = {}
+    for u, ds in days.items():
+        for dd in ds:
+            off = (dd - first[u]) // 7
+            cells.setdefault((first[u], off), set()).add(u)
+    sizes = {
+        (c, off): len(us) for (c, off), us in cells.items()
+    }
+    want_coh = {}
+    for (c, off), n in sizes.items():
+        day_iso = (BASE + timedelta(days=c)).strftime("%Y-%m-%d")
+        want_coh[(day_iso, off)] = (
+            n,
+            pytest.approx(round(n / sizes[(c, 0)], 6)),
+        )
+    got_coh = {
+        (str(r["cohort_day"]), r["week_offset"]): (
+            r["n_users"],
+            r["pct_of_cohort"],
+        )
+        for r in qs["q_cohort_retention"](spark, d).collect()
+    }
+    assert got_coh == want_coh, events
+
+    # growth accounting
+    by_day: dict[int, set[int]] = {}
+    for u, ds in days.items():
+        for dd in ds:
+            by_day.setdefault(dd, set()).add(u)
+    news = {}
+    for u, f in first.items():
+        news[f] = news.get(f, 0) + 1
+    cum = 0
+    want_gr = {}
+    for dd in sorted(by_day):
+        cum += news.get(dd, 0)
+        day_iso = (BASE + timedelta(days=dd)).strftime("%Y-%m-%d")
+        want_gr[day_iso] = (len(by_day[dd]), news.get(dd, 0), cum)
+    got_gr = {
+        str(r["d"]): (r["dau"], r["new_users"], r["cum_users"])
+        for r in qs["q_growth_accounting"](spark, d).collect()
+    }
+    assert got_gr == want_gr, events
