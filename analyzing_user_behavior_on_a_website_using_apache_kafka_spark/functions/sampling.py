@@ -365,8 +365,21 @@ def stratified_sample(d: DataFrame, k: int = _STRAT_K) -> DataFrame:
     per-source (bucket, md5, doc_id) ranking definition.  The result
     is rank-defined and therefore IDENTICAL whichever internal path
     ran — adaptive pre-thinning or the under-thinned full-source
-    fallback — which is exactly what a property test must pin before
-    the r9 persist rework of the internals."""
+    fallback — which is what the property tests pinned one round
+    before the r9 persist rework of the internals.
+
+    Both decision relations are persisted (r8 scan-shape audit, landed
+    r9): ``rates`` is O(sources) rows but is consumed by three
+    branches (the thinning join, the survivor check, the fallback
+    membership), and ``thinned`` (~0.3 % of the corpus at the 300k/n
+    target rate) is consumed twice (survivor count + ranked sample) —
+    unpersisted, every consumer re-expanded through its OWN full
+    documents scan: 9 scans at sf0.001 against a floor of 3.  With the
+    two persists the plan is exactly that floor: one corpus pass for
+    the per-source totals, one to materialize ``thinned``, one for the
+    anti-join fallback side.  Session-lifetime caches per the
+    ``_CACHE_OWNERSHIP`` contract in ``functions/dedup.py``
+    (``session.evict_caches`` clears them)."""
     from pyspark.sql import Window as W
 
     d2 = d.withColumn("b", hash_bucket(F.col("text")))
@@ -378,9 +391,12 @@ def stratified_sample(d: DataFrame, k: int = _STRAT_K) -> DataFrame:
             F.greatest(F.ceil(F.lit(300 * k) / F.col("n")), F.lit(1)),
             F.lit(100),
         ).alias("rate"),
-    )
-    thinned = d2.join(F.broadcast(rates), "source").filter(
-        F.col("b") < F.col("rate")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    thinned = (
+        d2.join(F.broadcast(rates), "source")
+        .filter(F.col("b") < F.col("rate"))
+        .select("doc_id", "source", "text", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     surv = thinned.groupBy("source").agg(F.count(F.lit(1)).alias("n_surv"))
     ok = (
@@ -388,10 +404,8 @@ def stratified_sample(d: DataFrame, k: int = _STRAT_K) -> DataFrame:
         .filter(F.col("n_surv") >= F.least(F.lit(k), F.col("n")))
         .select("source")
     )
-    base = (
-        thinned.select("doc_id", "source", "text", "b")
-        .join(F.broadcast(ok), "source", "semi")
-        .unionByName(d2.join(F.broadcast(ok), "source", "left_anti"))
+    base = thinned.join(F.broadcast(ok), "source", "semi").unionByName(
+        d2.join(F.broadcast(ok), "source", "left_anti")
     )
     w = W.partitionBy("source").orderBy("b", F.md5("text"), "doc_id")
     return (

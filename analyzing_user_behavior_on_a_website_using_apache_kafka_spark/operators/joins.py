@@ -345,19 +345,55 @@ _DPP_LAYOUT_CACHE: dict[tuple[int, str], str] = {}
 
 
 def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
-    key = (id(spark), os.path.abspath(sf_dir))
+    """Write (once) and return the q_join_dpp layout dir: the fact
+    table Hive-partitioned by event_type plus the enum-sized type dim.
+
+    The path is DETERMINISTIC per corpus (ADVICE r8: a fresh mkdtemp
+    per cold call both leaked the previous layout when evict_caches
+    cleared the memo and re-wrote the full event log on every cold
+    bench rep).  Layout content is a pure function of the corpus, so a
+    directory left by an earlier session/eviction is simply reused —
+    validity gated on Spark's own ``_SUCCESS`` markers for BOTH
+    tables; a partial write from a crashed run lacks the marker and is
+    re-written with mode=overwrite.  The dim write lives HERE, inside
+    the memoized builder, so a memo hit re-writes nothing at all.
+    """
+    corpus = os.path.abspath(sf_dir)
+    key = (id(spark), corpus)
     hit = _DPP_LAYOUT_CACHE.get(key)
-    if hit is not None and os.path.isdir(os.path.join(hit, "fact")):
+    if hit is not None and _dpp_layout_complete(hit):
         return hit
-    out = tempfile.mkdtemp(prefix="aub_dpp_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "value", "event_type"
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "aub_dpp_" + corpus.strip(os.sep).replace(os.sep, "_"),
     )
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(
-        os.path.join(out, "fact")
-    )
+    if not _dpp_layout_complete(out):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "value", "event_type"
+        )
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(
+            os.path.join(out, "fact")
+        )
+        dim = (
+            spark.read.parquet(os.path.join(out, "fact"))
+            .select("event_type")
+            .distinct()
+            .withColumn(
+                "tier",
+                F.when(
+                    F.col("event_type").isin("click", "purchase"), "hot"
+                ).otherwise("cold"),
+            )
+        )
+        dim.write.mode("overwrite").parquet(os.path.join(out, "dim"))
     _DPP_LAYOUT_CACHE[key] = out
     return out
+
+
+def _dpp_layout_complete(out: str) -> bool:
+    return os.path.isfile(
+        os.path.join(out, "fact", "_SUCCESS")
+    ) and os.path.isfile(os.path.join(out, "dim", "_SUCCESS"))
 
 
 @query(
@@ -401,27 +437,17 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-partitioned event log joined against a filtered dim scans
     only the partitions the dim filter selects, turning a 100 TB scan
     into the few-TB slice that survives pruning, with zero literal
-    leakage into the query text. The dim build here derives from the
-    fact layout's own partition values (a directory listing — the
-    `select(partition_col).distinct()` of a partitioned scan reads no
-    data pages) for fixture self-containment; the plan shape is
-    identical for a real warehouse dim table. The layout itself is
-    written once per (session, corpus) and memoized — the event log
-    is scanned exactly once per session, by the write.
+    leakage into the query text. The dim build (inside ``_dpp_layout``)
+    derives from the fact layout's own partition values (a directory
+    listing — the `select(partition_col).distinct()` of a partitioned
+    scan reads no data pages) for fixture self-containment; the plan
+    shape is identical for a real warehouse dim table. Both tables are
+    written once per corpus at a deterministic path and memoized — a
+    warm invocation writes NOTHING (r9; previously the dim re-wrote
+    per call and evicting the memo leaked the tempdir and re-wrote the
+    full event log per cold bench rep).
     """
     out = _dpp_layout(spark, sf_dir)
-    dim = (
-        spark.read.parquet(os.path.join(out, "fact"))
-        .select("event_type")
-        .distinct()
-        .withColumn(
-            "tier",
-            F.when(
-                F.col("event_type").isin("click", "purchase"), "hot"
-            ).otherwise("cold"),
-        )
-    )
-    dim.write.mode("overwrite").parquet(os.path.join(out, "dim"))
     fact = spark.read.parquet(os.path.join(out, "fact"))
     hot = spark.read.parquet(os.path.join(out, "dim")).filter(
         F.col("tier") == "hot"

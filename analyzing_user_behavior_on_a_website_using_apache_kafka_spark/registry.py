@@ -89,94 +89,91 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-8 window, from `python tools/propose_window.py --changed
-    # q_dedup_clusters,q_dedup_editdist` (the by-hand composition rules
-    # of r4-r7, now encoded + unit-tested): 2 changed-plan keys lead
-    # (CC contraction; editdist location prefixes), then ALL SEVEN
-    # never-driver-checked r8 widening keys (q_sim_timeseries — also
-    # satisfies the q_sim_ family pin — q_sql_recursive, q_json_variant,
-    # q_sql_lateral, q_join_dpp, q_sink_zorder, q_time_interpolate).
-    # The proposer flagged 52 mandatory keys for 50 slots; never-checked
-    # keys are a STRICT window requirement (rotation_check), while r5
-    # keys left out sit at staleness exactly 3 = the feasible bound, so
-    # the overflow resolves by dropping TWO r5 keys (q_agg_collect,
-    # q_agg_cube — q_agg_ keeps five other in-window reps) which become
-    # MANDATORY r9 leads.  The r6 filler slot is evicted.  Any key whose
-    # served plan changes must be promoted to the FRONT (re-run the
-    # proposer with --changed).  Steady state: 150 keys / 50-key
-    # windows / <=3-round staleness is EXACT capacity — the projected
-    # r9-r11 schedule (proposer dry-run against this window, late r8;
-    # standing guard: tests/test_registry.py::
-    # test_rotation_remains_feasible_three_rounds_ahead):
-    #   r9  = collect + cube + q_event_attribution (registers r9) +
-    #         47 of the 49 r6-checked keys; q_pipeline_curate and
-    #         q_path_topk slip (staleness exactly 3 — legal);
-    #   r10 = the 2 slipped + 47 of 48 r7-checked + q_udaf_grouped
-    #         (udaf/udtf family pin); q_subquery_scalar slips;
-    #   r11 = q_subquery_scalar + the 49 r8 keys not re-checked since;
-    # thereafter the three windows repeat as disjoint partitions.
-    # Enforced by tools/rotation_check.py + the projection test.
+    # Round-9 window, from `python tools/propose_window.py --changed
+    # q_sample_stratified,q_sim_timeseries,q_dedup_clusters,q_join_dpp`.
+    # Four changed-plan keys lead (stratified: rates+thinned persists,
+    # 9 -> 3 documents scans, the r8 audit's queued fix landing with the
+    # key's mandatory slot; sim_timeseries: profile relation persisted,
+    # 2 -> 1 events scans, the r8 ADVICE double-scan fix; clusters:
+    # _forest_contract now folds edges in bounded 4.2M-edge chunks, the
+    # r8 ADVICE skewed-partition OOM guard; join_dpp: layout writes
+    # moved inside the memoized builder at a deterministic path — the
+    # served plan is byte-identical but the warm/cold write behavior
+    # changed, so it re-verifies per the changed-key rule).  Then the
+    # one never-checked key (q_event_attribution, staged r8, registered
+    # THIS round — registry now at the full 150-key capacity), the two
+    # past-bound r5 keys the r8 window legally slipped (q_agg_collect,
+    # q_agg_cube — hard leads here per the slip rule), then 43 of the
+    # 49 r6-checked at-bound keys.  The proposer flagged 55 mandatory
+    # keys for 50 slots; the overflow resolves by slipping FIVE at-
+    # bound r6 keys (q_funnel_conversion, q_growth_accounting,
+    # q_pack_sequences, q_path_topk, q_pipeline_curate — staleness
+    # exactly 3 after r9, legal; all family-less or family-covered)
+    # which become MANDATORY r10 leads.  Projected schedule (proposer
+    # dry-run against this window; standing guard:
+    # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
+    #   r10 = the 5 slipped r6 keys + 44 of the 48 r7-checked keys +
+    #         q_udaf_grouped (udaf/udtf family pin); 4 r7 keys slip;
+    #   r11 = the 4 slipped + the 46 r8-checked keys not re-verified
+    #         since (q_dedup_clusters/q_join_dpp/q_sim_timeseries
+    #         re-verify r9, thinning the r11 load);
+    # thereafter the windows return to the disjoint steady state.  Any
+    # key whose served plan changes must be promoted to the FRONT
+    # (re-run the proposer with --changed).
     # --- changed this round ---
-    "q_dedup_clusters",
-    "q_dedup_editdist",
-    # rollup/interpolate base persisted (3 event scans -> 1); rollup
-    # was already at-bound, promoted here per the changed-plan rule
-    "q_time_rollup",
-    # lang-count relation persisted (5 documents scans -> 2, the r8
-    # scan-shape audit queue); was already in-window at the r5 bound,
-    # promoted here per the changed-plan rule.  Its sibling
-    # q_sample_stratified persist stays queued for r9 (r6-checked,
-    # NOT in this window).
-    "q_sample_temperature",
-    # --- never driver-checked ---
+    "q_sample_stratified",
     "q_sim_timeseries",
-    "q_sql_recursive",
-    "q_json_variant",
-    "q_sql_lateral",
+    "q_dedup_clusters",
     "q_join_dpp",
-    "q_sink_zorder",
-    "q_time_interpolate",
-    # --- at staleness bound (last r5) ---
-    "q_agg_approx_distinct",
-    "q_agg_distinct",
-    "q_agg_filtered",
-    "q_agg_percentile",
-    "q_agg_share",
-    "q_dedup_exact",
-    "q_dedup_substring",
-    "q_embed_pq",
-    "q_event_anomaly",
-    "q_event_rfm",
-    "q_except",
-    "q_filter_null",
-    "q_join_cross",
-    "q_join_semi",
-    "q_map_funcs",
-    "q_multimodal_framedup",
-    "q_profile_columns",
-    "q_sink_foreachbatch",
-    "q_sort_multikey",
-    "q_source_binaryfile",
-    "q_source_orc",
-    "q_source_xml",
-    "q_split_train_test",
-    "q_sql_join_having",
-    "q_stream_kafka_source",
-    "q_stream_sliding",
-    "q_text_langid",
-    "q_text_quality",
-    "q_topk_per_group",
-    "q_udf_scalar",
-    "q_udtf_python",
-    "q_union_all",
-    "q_union_distinct",
-    "q_unpivot",
-    "q_win_distribution",
-    "q_win_range_frame",
-    "q_win_rank",
-    "q_win_running",
-    # --- family pin (q_uda) ---
-    "q_udaf_grouped",
+    # --- never driver-checked (registered r9) ---
+    "q_event_attribution",
+    # --- past staleness bound (last r5; slipped from the r8 window) ---
+    "q_agg_collect",
+    "q_agg_cube",
+    # --- at staleness bound (last r6) ---
+    "q_agg_approx_quantile",
+    "q_agg_sketch_merge",
+    "q_agg_stats",
+    "q_cohort_retention",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_near",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_embed_normquant",
+    "q_event_transitions",
+    "q_join_range_binned",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_sample_mixture",
+    "q_sim_ann",
+    "q_sim_ivf",
+    "q_sim_topk_bruteforce",
+    "q_sink_bucketed",
+    "q_sink_upsert",
+    "q_source_evolving_schema",
+    "q_sql_window",
+    "q_stream_complete_agg",
+    "q_stream_custom_state",
+    "q_stream_session",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langstats",
+    "q_text_ngram_counts",
+    "q_text_normalize",
+    "q_text_pii_scrub",
+    "q_text_repetition",
+    "q_text_rollhash",
+    "q_text_tfidf",
+    "q_text_token_bpe",
+    "q_text_unigram_logprob",
+    "q_udf_cogroup",
+    "q_udtf_explode",
+    "q_win_first_last",
 )
 
 
@@ -234,7 +231,8 @@ def _ensure_loaded() -> None:
     # and is environment-blocked: pyspark 4.1.2's TwS state-server
     # protocol imports google.protobuf, absent from this container
     # (verified: the driver-side schema worker crashes on the import;
-    # installs are off-limits). Re-probed r7 and r8 (2026-08-14):
+    # installs are off-limits). Re-probed r7, r8 (2026-08-14) and r9
+    # (2026-08-15):
     #   python -c "import google.protobuf"
     #     -> ModuleNotFoundError: No module named 'google'
     #   (grpc likewise absent) — still blocked. Revisit each round;

@@ -103,9 +103,10 @@ def evict_caches(spark) -> None:
     belongs in this list, not in per-harness copies.
     """
     from .functions import dedup
-    from .operators import joins, timeseries
+    from .operators import behavior, joins, timeseries
 
     dedup._PAIR_CACHE.clear()
     timeseries._HOURLY_CACHE.clear()
+    behavior._TS_PROFILE_CACHE.clear()
     joins._DPP_LAYOUT_CACHE.clear()
     spark.catalog.clearCache()

@@ -262,10 +262,10 @@ def test_time_rollup_constructed_gaps_and_boundaries(spark):
     assert one[0]["n_events"] == 1
 
 
-# ---------------------------------------------------------------- staged r9
-# q_event_attribution is built+tested in r8 but registers in r9 (the r8
-# driver window is full — see the staging note in operators/behavior.py).
-# These tests pin its semantics NOW so r9 registration is mechanical.
+# ----------------------------------------------------------- attribution
+# q_event_attribution was built+tested in r8 and registered in r9 (the r8
+# driver window was full — see the note in operators/behavior.py).  These
+# tests pinned its semantics a round before the oracle sweep took over.
 
 
 def _attr_dir(spark, rows) -> str:

@@ -588,6 +588,45 @@ def test_dpp_key_injects_dynamic_partition_pruning(spark, sf_dir):
     assert types == {"click", "purchase"}, types
 
 
+def test_dpp_layout_is_deterministic_and_write_once(spark, sf_dir):
+    """r9 regression pin (ADVICE r8): the q_join_dpp layout used to go
+    to a fresh mkdtemp per cold call — evicting the memo leaked the
+    previous directory and every cold bench rep re-wrote the full
+    event log, and the dim table re-wrote on EVERY invocation even on
+    a memo hit. Now both tables live at one deterministic per-corpus
+    path, writes happen only inside the memoized builder, and a
+    directory left by an earlier session (validity gated on both
+    _SUCCESS markers) is reused byte-for-byte: a warm call AND a
+    post-eviction cold call must both write NOTHING."""
+    import os as _os
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+        session as _session,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators import (
+        joins as _joins,
+    )
+
+    first = _joins._dpp_layout(spark, sf_dir)
+    marks = [
+        _os.path.join(first, "fact", "_SUCCESS"),
+        _os.path.join(first, "dim", "_SUCCESS"),
+    ]
+    stamps = [_os.path.getmtime(m) for m in marks]
+    # warm (memo hit): same path, no rewrite of either table
+    assert _joins._dpp_layout(spark, sf_dir) == first
+    # cold (memo evicted, directory intact): reused, still no rewrite
+    _session.evict_caches(spark)
+    assert _joins._dpp_layout(spark, sf_dir) == first
+    assert [_os.path.getmtime(m) for m in marks] == stamps
+    # a partial layout (missing _SUCCESS) must NOT be trusted: the
+    # builder re-writes it (mode=overwrite) and the marker returns
+    _os.remove(marks[1])
+    _session.evict_caches(spark)
+    assert _joins._dpp_layout(spark, sf_dir) == first
+    assert _os.path.isfile(marks[1])
+
+
 def test_zorder_files_are_tight_on_both_dimensions(spark, sf_dir):
     """q_sink_zorder (r8): the written files' parquet footer min/max
     must be tight on BOTH cluster columns — the property that makes
@@ -737,3 +776,35 @@ def test_sample_temperature_reads_documents_twice(spark, sf_dir):
     fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     scans = fmt.count("documents.parquet")
     assert scans == 2, f"expected the 2-scan floor, saw {scans}"
+
+
+def test_sim_timeseries_reads_events_once(spark, sf_dir):
+    """r9 scan-shape pin (ADVICE r8): the O(users × 24) profile
+    relation is persisted and shared, so the probe branch (orderBy +
+    limit) and the scoring cross join read ONE InMemoryRelation
+    instead of each re-planning the full events scan→agg→pivot chain
+    (the r8 captured plan showed that chain TWICE). The formatted
+    physical plan must show exactly 1 events scan — the cached
+    profile build, the floor."""
+    df = registry.all_queries()["q_sim_timeseries"](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.optimizedPlan().toString().count("InMemoryRelation") >= 2
+    fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    scans = fmt.count("events.parquet")
+    assert scans == 1, f"expected the 1-scan floor, saw {scans}"
+
+
+def test_sample_stratified_reads_documents_thrice(spark, sf_dir):
+    """r9 scan-shape pin (the r8 audit's queued persist, landed with
+    the key's mandatory r9 window slot): ``rates`` (O(sources)) and
+    ``thinned`` (~0.3 % of the corpus) are persisted, so the survivor
+    check, the ranked-sample branch, and the fallback membership all
+    read InMemoryRelations. Formatted plan at exactly 3 documents
+    scans — per-source totals, thinned materialization, the anti-join
+    fallback side — down from 9 unpersisted, floor 3."""
+    df = registry.all_queries()["q_sample_stratified"](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.optimizedPlan().toString().count("InMemoryRelation") >= 2
+    fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    scans = fmt.count("documents.parquet")
+    assert scans == 3, f"expected the 3-scan floor, saw {scans}"

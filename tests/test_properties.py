@@ -306,6 +306,45 @@ def test_connected_components_scattered_partitions(pb_spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_forest_contract_chunked_fold_lossless(pb_spark, monkeypatch):
+    """r9 regression pin for the bounded-memory contraction fold
+    (ADVICE r8: _forest_contract used to concatenate a whole
+    partition's edges into executor memory; it now folds them into a
+    running star forest in _CONTRACT_CHUNK_EDGES-sized chunks). The
+    chunk size must be a pure memory knob, NOT a correctness knob:
+    with the chunk forced down to 4 edges (hundreds of folds per task
+    on a 5k-edge path) the final CC labels must be identical to the
+    union-find answer. Mixed shapes — a path (every fold's forest
+    chains into the next chunk), cliques (folds collapse densely), and
+    isolates — and adversarial round-robin partitioning."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
+        dedup,
+    )
+
+    monkeypatch.setattr(dedup, "_CONTRACT_CHUNK_EDGES", 4)
+    spark = pb_spark
+    n = 5_000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    path = [(i, i + 1) for i in range(n - 2)]  # n-2, n-1 stay apart
+    clique = [
+        (5000 - 32 + a, 5000 - 32 + b)
+        for a in range(32)
+        for b in range(a + 1, 32)
+    ]  # overlaps the path tail: merges the last clique into it
+    edges = spark.createDataFrame(path + clique, "u long, v long").repartition(
+        13
+    )
+    got = {
+        r.doc_id: r.label
+        for r in dedup.connected_components(
+            nodes, edges, max_iters=30
+        ).collect()
+    }
+    # path 0..4998 ∪ clique 4968..4999 = one component rooted at 0;
+    # node 4999 joins via the clique even though the path skips it
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_editdist_location_prefix_boundary(pb_spark):
     """r8 regression pin for the Ed-Join location-aware prefix: on a
     long doc with spread-out unique grams the shortened prefix engages
@@ -622,9 +661,9 @@ def test_editdist_nonascii_parity_guard(pb_spark, tmp_path):
     assert got == want == [(1, 2, 1)], (got, want)
 
 
-# ------------------------------------------------------------------ staged r9
-# Differential property test for the staged q_event_attribution (registers
-# in r9 — staging note in operators/behavior.py): random event logs with
+# ------------------------------------------------------------- attribution
+# Differential property test for q_event_attribution (staged r8, registered
+# r9 — note in operators/behavior.py): random event logs with
 # timestamp ties and >24h gaps, checked against an independent pure-Python
 # last-touch reference (NOT the shared-design SQL oracle).
 

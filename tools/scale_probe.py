@@ -243,7 +243,7 @@ def run_cc_probe(ks: list[int]) -> None:
     isolates the CC operator from the pair-join that usually feeds it.
 
     Two shapes, both with K-linear edge counts:
-      - blob_dense: disjoint 32-cliques (~1.55 edges/node), ids
+      - blob_dense: disjoint 32-cliques (~15.5 edges/node), ids
         contiguous → the friendly case: partition-local contraction
         collapses nearly everything before the first shuffle;
       - path_scattered: 1000-node paths, edges round-robin-scattered
