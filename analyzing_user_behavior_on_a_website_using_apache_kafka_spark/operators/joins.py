@@ -19,6 +19,7 @@ join with the strategy chosen for scale:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -355,8 +356,16 @@ def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
     directory left by an earlier session/eviction is simply reused —
     validity gated on Spark's own ``_SUCCESS`` markers for BOTH
     tables; a partial write from a crashed run lacks the marker and is
-    re-written with mode=overwrite.  The dim write lives HERE, inside
-    the memoized builder, so a memo hit re-writes nothing at all.
+    re-written.  The dim write lives HERE, inside the memoized
+    builder, so a memo hit re-writes nothing at all.
+
+    Concurrent-builder safety (the scale_probe replica discipline):
+    the build lands in a pid-suffixed staging dir first and publishes
+    with one atomic ``os.rename`` — two processes racing on a cold
+    corpus (a driver sweep plus a stray bench) each build privately
+    and whichever renames second simply discards its copy, instead of
+    both writing mode=overwrite into the SAME live directory and
+    corrupting the layout mid-read.
     """
     corpus = os.path.abspath(sf_dir)
     key = (id(spark), corpus)
@@ -368,14 +377,16 @@ def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
         "aub_dpp_" + corpus.strip(os.sep).replace(os.sep, "_"),
     )
     if not _dpp_layout_complete(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "value", "event_type"
         )
         ev.write.mode("overwrite").partitionBy("event_type").parquet(
-            os.path.join(out, "fact")
+            os.path.join(tmp, "fact")
         )
         dim = (
-            spark.read.parquet(os.path.join(out, "fact"))
+            spark.read.parquet(os.path.join(tmp, "fact"))
             .select("event_type")
             .distinct()
             .withColumn(
@@ -385,7 +396,19 @@ def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
                 ).otherwise("cold"),
             )
         )
-        dim.write.mode("overwrite").parquet(os.path.join(out, "dim"))
+        dim.write.mode("overwrite").parquet(os.path.join(tmp, "dim"))
+        # a stale incomplete dir (no _SUCCESS) blocks the rename —
+        # clear it; a COMPLETE dir is never touched (a concurrent
+        # builder won the race; its copy is identical and live
+        # readers keep it) — then the failed rename discards ours
+        if not _dpp_layout_complete(out):
+            shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _dpp_layout_complete(out):
+                raise
     _DPP_LAYOUT_CACHE[key] = out
     return out
 
