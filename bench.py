@@ -66,6 +66,11 @@ HEADLINE = [
     # similarity — hourly-profile pivot + broadcast-probe two-phase
     # cosine top-k over the events table
     "q_sim_timeseries",
+    # round-9 addition, tracked from its registration round
+    # (like-for-like vs r8 drops this row): last-touch attribution —
+    # one shuffle on user_id, ignore-nulls running-last window,
+    # O(channels) final aggregate with exact-decimal revenue
+    "q_event_attribution",
 ]
 
 EXTENDED = [
