@@ -352,10 +352,25 @@ def test_rotation_remains_feasible_three_rounds_ahead():
     if not last:
         return  # fresh clone — no driver history to project from
     sim = dict(last)
-    for k in _PRIORITY:  # the driver checks the pasted window next
-        sim[k] = latest + 1
     names = sorted(set(registry.all_queries()) | gen_coverage._STAGED)
-    for step in (2, 3, 4):
+    # Two repo states exist (the results-landing boundary, ADVICE r8):
+    # mid-round, the pasted _PRIORITY window is what the driver checks
+    # at round end — seed it as checked next round and project the
+    # three rounds after.  At the boundary instant (the driver just
+    # committed results for EXACTLY the pasted window, rotation not
+    # yet done), re-seeding that same window as "checked again" would
+    # simulate a double-check that starves the declared slips — there
+    # the next session's rotation is proposer-composed like every
+    # later round, so project all three rounds from the proposer.
+    window = list(registry.all_queries())[: rotation_check.WINDOW]
+    consumed = all(sim.get(k) == latest for k in window)
+    if consumed:
+        steps = (1, 2, 3)
+    else:
+        for k in _PRIORITY:  # the driver checks the pasted window next
+            sim[k] = latest + 1
+        steps = (2, 3, 4)
+    for step in steps:
         picked, warnings = propose(
             names, sim, latest_round=latest + step - 1, changed=[]
         )
@@ -370,7 +385,7 @@ def test_rotation_remains_feasible_three_rounds_ahead():
             assert any(k.startswith(prefixes) for k in keys), (step, fam)
         for k in keys:
             sim[k] = latest + step
-    horizon = latest + 4
+    horizon = latest + steps[-1]
     stale = {k: horizon - r for k, r in sim.items() if horizon - r > 3}
     assert not stale, stale
 
