@@ -18,6 +18,7 @@ join with the strategy chosen for scale:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -345,6 +346,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DPP_LAYOUT_CACHE: dict[tuple[int, str], str] = {}
 
 
+def _dpp_fingerprint(sf_dir: str) -> str:
+    """Identity of the layout's SOURCE data: corpus path + the events
+    parquet's (size, mtime_ns).  The driver regenerates fixtures
+    per-round at the SAME path, so _SUCCESS markers alone cannot
+    validate a reused layout — a layout built from last round's
+    events would silently serve stale facts (r9 review finding)."""
+    corpus = os.path.abspath(sf_dir)
+    st = os.stat(os.path.join(corpus, "events.parquet"))
+    return f"{corpus}|{st.st_size}|{st.st_mtime_ns}"
+
+
 def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write (once) and return the q_join_dpp layout dir: the fact
     table Hive-partitioned by event_type plus the enum-sized type dim.
@@ -352,71 +364,92 @@ def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
     The path is DETERMINISTIC per corpus (ADVICE r8: a fresh mkdtemp
     per cold call both leaked the previous layout when evict_caches
     cleared the memo and re-wrote the full event log on every cold
-    bench rep).  Layout content is a pure function of the corpus, so a
-    directory left by an earlier session/eviction is simply reused —
-    validity gated on Spark's own ``_SUCCESS`` markers for BOTH
-    tables; a partial write from a crashed run lacks the marker and is
-    re-written.  The dim write lives HERE, inside the memoized
-    builder, so a memo hit re-writes nothing at all.
+    bench rep) — a hash of the corpus path, so distinct corpora can
+    never collide into one directory (a readable-name sanitization
+    mapped /a/b_c and /a/b/c to the same dir).  A directory left by an
+    earlier session is reused only if it is COMPLETE (Spark's
+    ``_SUCCESS`` markers for both tables) AND its ``SOURCE`` marker
+    matches the current corpus fingerprint — a fixture regenerated at
+    the same path (the driver does this every round) changes
+    size/mtime and forces a rebuild instead of serving stale facts.
+    The dim write lives HERE, inside the memoized builder, so a memo
+    hit re-writes nothing at all.
 
-    Concurrent-builder safety (the scale_probe replica discipline):
-    the build lands in a pid-suffixed staging dir first and publishes
-    with one atomic ``os.rename`` — two processes racing on a cold
-    corpus (a driver sweep plus a stray bench) each build privately
-    and whichever renames second simply discards its copy, instead of
-    both writing mode=overwrite into the SAME live directory and
-    corrupting the layout mid-read.
+    Concurrent-builder safety: the whole check-build-publish section
+    holds an exclusive ``flock`` on a sibling lock file, so two
+    processes racing on a cold corpus (a driver sweep plus a stray
+    bench) serialize — the loser re-checks under the lock, finds the
+    winner's complete layout, and builds nothing.  The build still
+    lands in a pid-suffixed staging dir and publishes with one atomic
+    ``os.rename`` so a crash mid-build leaves no half-written live
+    dir (the stale remains lack ``_SUCCESS``/``SOURCE`` and are
+    cleared by the next builder).
     """
+    import fcntl
+
     corpus = os.path.abspath(sf_dir)
+    fp = _dpp_fingerprint(sf_dir)
     key = (id(spark), corpus)
     hit = _DPP_LAYOUT_CACHE.get(key)
-    if hit is not None and _dpp_layout_complete(hit):
+    if hit is not None and _dpp_layout_complete(hit, fp):
         return hit
     out = os.path.join(
         tempfile.gettempdir(),
-        "aub_dpp_" + corpus.strip(os.sep).replace(os.sep, "_"),
+        "aub_dpp_" + hashlib.md5(corpus.encode()).hexdigest()[:12],
     )
-    if not _dpp_layout_complete(out):
-        tmp = f"{out}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "value", "event_type"
-        )
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(
-            os.path.join(tmp, "fact")
-        )
-        dim = (
-            spark.read.parquet(os.path.join(tmp, "fact"))
-            .select("event_type")
-            .distinct()
-            .withColumn(
-                "tier",
-                F.when(
-                    F.col("event_type").isin("click", "purchase"), "hot"
-                ).otherwise("cold"),
-            )
-        )
-        dim.write.mode("overwrite").parquet(os.path.join(tmp, "dim"))
-        # a stale incomplete dir (no _SUCCESS) blocks the rename —
-        # clear it; a COMPLETE dir is never touched (a concurrent
-        # builder won the race; its copy is identical and live
-        # readers keep it) — then the failed rename discards ours
-        if not _dpp_layout_complete(out):
-            shutil.rmtree(out, ignore_errors=True)
+    with open(out + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
         try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not _dpp_layout_complete(out):
-                raise
+            if not _dpp_layout_complete(out, fp):
+                tmp = f"{out}.tmp.{os.getpid()}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                ev = load_table(spark, sf_dir, "events").select(
+                    "event_id", "value", "event_type"
+                )
+                ev.write.mode("overwrite").partitionBy(
+                    "event_type"
+                ).parquet(os.path.join(tmp, "fact"))
+                dim = (
+                    spark.read.parquet(os.path.join(tmp, "fact"))
+                    .select("event_type")
+                    .distinct()
+                    .withColumn(
+                        "tier",
+                        F.when(
+                            F.col("event_type").isin(
+                                "click", "purchase"
+                            ),
+                            "hot",
+                        ).otherwise("cold"),
+                    )
+                )
+                dim.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "dim")
+                )
+                with open(os.path.join(tmp, "SOURCE"), "w") as f:
+                    f.write(fp)
+                # under the lock the incumbent is stale by definition
+                # (incomplete or built from a regenerated corpus)
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
     _DPP_LAYOUT_CACHE[key] = out
     return out
 
 
-def _dpp_layout_complete(out: str) -> bool:
-    return os.path.isfile(
-        os.path.join(out, "fact", "_SUCCESS")
-    ) and os.path.isfile(os.path.join(out, "dim", "_SUCCESS"))
+def _dpp_layout_complete(out: str, fingerprint: str) -> bool:
+    """Both tables fully written AND built from the CURRENT corpus."""
+    if not (
+        os.path.isfile(os.path.join(out, "fact", "_SUCCESS"))
+        and os.path.isfile(os.path.join(out, "dim", "_SUCCESS"))
+    ):
+        return False
+    try:
+        with open(os.path.join(out, "SOURCE")) as f:
+            return f.read() == fingerprint
+    except OSError:
+        return False
 
 
 @query(

@@ -620,11 +620,20 @@ def test_dpp_layout_is_deterministic_and_write_once(spark, sf_dir):
     assert _joins._dpp_layout(spark, sf_dir) == first
     assert [_os.path.getmtime(m) for m in marks] == stamps
     # a partial layout (missing _SUCCESS) must NOT be trusted: the
-    # builder re-writes it (mode=overwrite) and the marker returns
+    # builder re-writes it and the marker returns
     _os.remove(marks[1])
     _session.evict_caches(spark)
     assert _joins._dpp_layout(spark, sf_dir) == first
     assert _os.path.isfile(marks[1])
+    # a layout whose SOURCE fingerprint no longer matches the corpus
+    # (the driver regenerates fixtures at the SAME path every round)
+    # must also be rebuilt, NOT served stale (r9 review finding)
+    with open(_os.path.join(first, "SOURCE"), "w") as f:
+        f.write("someone-elses-corpus|0|0")
+    _session.evict_caches(spark)
+    assert _joins._dpp_layout(spark, sf_dir) == first
+    with open(_os.path.join(first, "SOURCE")) as f:
+        assert f.read() == _joins._dpp_fingerprint(sf_dir)
 
 
 def test_zorder_files_are_tight_on_both_dimensions(spark, sf_dir):

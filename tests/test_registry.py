@@ -212,7 +212,7 @@ def test_next_window_leads_are_genuine_slips():
         return  # fresh clone: nothing to validate against
     names = list(registry.all_queries())
     window = set(names[:rotation_check.WINDOW])
-    bound = 2 if len(names) <= 2 * rotation_check.WINDOW else 3
+    bound = rotation_check.staleness_bound(len(names))
     for key in registry.NEXT_WINDOW_LEADS:
         assert key in names, f"{key}: declared lead is not registered"
         assert key not in window, (

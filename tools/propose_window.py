@@ -41,7 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
     registry,
 )
-from tools.rotation_check import WINDOW, latest_checks
+from tools.rotation_check import (
+    WINDOW,
+    latest_checks,
+    staleness_bound,
+)
 
 # Single source of truth for the family taxonomy (name -> prefix tuple);
 # tests/test_registry.py consumes the same dict.
@@ -218,7 +222,7 @@ def main() -> None:
         k
         for k in names
         if k in last
-        and last[k] == latest_round + 1 - 3
+        and last[k] == latest_round + 1 - staleness_bound(len(names))
         and k not in picked_keys
     )
     print("NEXT_WINDOW_LEADS: tuple[str, ...] = (")

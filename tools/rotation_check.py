@@ -38,6 +38,15 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
 WINDOW = 50
 
 
+def staleness_bound(n_keys: int) -> int:
+    """Feasible staleness bound for the registry size: 2 when the
+    registry fits in two windows, else 3.  Single source of truth —
+    check_rotation, the proposer's slip computation, and the
+    declared-slip honesty test all reuse it (three hand-copies of
+    this formula drifted once already; r9 review finding)."""
+    return 2 if n_keys <= 2 * WINDOW else 3
+
+
 def latest_checks(repo_root: str) -> tuple[dict[str, int], int]:
     """Map query key -> latest round it appeared in CORRECTNESS_r*.json."""
     last: dict[str, int] = {}
@@ -64,7 +73,7 @@ def check_rotation(repo_root: str = None) -> list[str]:
     next_round = latest_round + 1
     names = list(registry.all_queries())
     window = set(names[:WINDOW])
-    bound = 2 if len(names) <= 2 * WINDOW else 3
+    bound = staleness_bound(len(names))
     leads = set(getattr(registry, "NEXT_WINDOW_LEADS", ()))
     problems: list[str] = []
     for key in names:
