@@ -137,6 +137,33 @@ PAIR_PROBES = {
 }
 
 
+
+def _base_fingerprint(base_sf: str) -> str:
+    """Identity of the replica's SOURCE fixture: path + per-table
+    (size, mtime_ns).  The driver regenerates fixtures at the SAME
+    path each round, so a replica left in /tmp from a previous round
+    could otherwise be silently reused over stale data (same class of
+    bug as the q_join_dpp layout's SOURCE gate, r9)."""
+    parts = [os.path.abspath(base_sf)]
+    for t in sorted(
+        {"region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events", "documents", "embeddings"}
+    ):
+        p = os.path.join(base_sf, f"{t}.parquet")
+        if os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _replica_current(out: str, fingerprint: str) -> bool:
+    try:
+        with open(os.path.join(out, "SOURCE")) as fh:
+            return fh.read() == fingerprint
+    except OSError:
+        return False
+
+
 def build_replica(k: int) -> str:
     # Replica dirs are keyed by the BASE fixture path (hashed into the
     # dir name) and built tmp-then-atomic-rename: a bare /tmp/...​/x{k}
@@ -149,11 +176,19 @@ def build_replica(k: int) -> str:
         os.path.abspath(BASE_SF).encode()
     ).hexdigest()[:8]
     out = os.path.join(WORK, f"{base_tag}_x{k}")
+    fp = _base_fingerprint(BASE_SF)
     if os.path.isdir(out):
-        return out  # rename is atomic, so an existing dir is complete
+        # rename is atomic, so an existing dir is completely WRITTEN —
+        # but only current if its SOURCE matches the fixture (which
+        # the driver regenerates per round at the same path)
+        if _replica_current(out, fp):
+            return out
+        shutil.rmtree(out, ignore_errors=True)
     tmp = f"{out}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
+    with open(os.path.join(tmp, "SOURCE"), "w") as fh:
+        fh.write(fp)
     con = duckdb.connect()
     for table, id_cols in _TABLES.items():
         src = os.path.join(BASE_SF, f"{table}.parquet")
@@ -202,11 +237,16 @@ def build_sparse_replica(base_sf: str, k: int) -> str:
         os.path.abspath(base_sf).encode()
     ).hexdigest()[:8]
     out = os.path.join(WORK, f"{base_tag}_sparse_x{k}")
+    fp = _base_fingerprint(base_sf)
     if os.path.isdir(out):
-        return out
+        if _replica_current(out, fp):
+            return out
+        shutil.rmtree(out, ignore_errors=True)
     tmp = f"{out}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
+    with open(os.path.join(tmp, "SOURCE"), "w") as fh:
+        fh.write(fp)
     con = duckdb.connect()
     src = os.path.join(base_sf, "documents.parquet")
     # suffix `_i_i`: >=2 char edits per token between any two replicas,
