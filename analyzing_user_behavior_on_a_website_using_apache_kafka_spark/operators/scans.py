@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..fixtures import materialized_fixture
 from ..registry import query
 
 
@@ -137,22 +138,34 @@ def q_source_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     Types must be pinned at write time: an int32 batch-1 column and an
     int64 batch-2 column fail the merge, which is why every write here
     casts keys to bigint first.
+
+    Fixture hygiene (r9): the two-batch directory is a write-once
+    ``materialized_fixture`` (deterministic per-corpus path, corpus
+    fingerprint, flock, atomic publish — see ``fixtures.py``) instead
+    of a fresh ``mkdtemp`` per call, which leaked a directory and
+    re-paid the conversion on every sweep/bench invocation.  This key
+    is the r9 exemplar; its five source-format siblings migrate in the
+    rounds their keys are driver-checked (json/csv r10, orc/xml/
+    binaryfile r11 — the changed-key verification discipline).
     """
-    out = tempfile.mkdtemp(prefix="aub_evolving_schema_")
-    nation = load_table(spark, sf_dir, "nation")
-    batch1 = nation.select(
-        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
-        "n_name",
-        F.lit(1).alias("batch"),
-    )
-    batch2 = nation.select(
-        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
-        "n_name",
-        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
-        F.lit(2).alias("batch"),
-    )
-    batch1.write.mode("append").parquet(out)
-    batch2.write.mode("append").parquet(out)
+
+    def _build(tmp: str) -> None:
+        nation = load_table(spark, sf_dir, "nation")
+        batch1 = nation.select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            "n_name",
+            F.lit(1).alias("batch"),
+        )
+        batch2 = nation.select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+            F.lit(2).alias("batch"),
+        )
+        batch1.write.mode("append").parquet(tmp)
+        batch2.write.mode("append").parquet(tmp)
+
+    out = materialized_fixture("evolving", sf_dir, ["nation"], _build)
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "n_nationkey", "n_name", "n_regionkey", "batch"
     )

@@ -164,3 +164,52 @@ def test_documents_are_ascii_for_levenshtein_oracle(spark, sf_dir):
         f"{non_ascii} non-ASCII documents — DuckDB byte-based vs Spark "
         "codepoint-based levenshtein will diverge (see docstring)"
     )
+
+
+def test_materialized_fixture_write_once_and_fingerprint(tmp_path, monkeypatch):
+    """r9: source-format fixtures build ONCE per corpus state at a
+    deterministic path (fixtures.materialized_fixture).  Pin the three
+    behaviors the q_join_dpp review demanded: (a) a second call reuses
+    the published dir without re-invoking the builder; (b) a corpus
+    regenerated at the SAME path (fingerprint change) forces a
+    rebuild — markers alone must never serve stale data; (c) the
+    marker is `_SOURCE` (underscore-prefixed) so Spark's data-source
+    file listing ignores it inside directory reads."""
+    import os
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+        fixtures,
+    )
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path / "work")
+    )
+    os.makedirs(tmp_path / "work")
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    (corpus / "nation.parquet").write_bytes(b"v1")
+
+    calls = []
+
+    def build(tmp: str) -> None:
+        calls.append(tmp)
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("payload")
+
+    out1 = fixtures.materialized_fixture("t", str(corpus), ["nation"], build)
+    assert len(calls) == 1
+    assert open(os.path.join(out1, "data.txt")).read() == "payload"
+    assert os.path.basename(out1).startswith("aub_fix_t_")
+    assert os.path.isfile(os.path.join(out1, "_SOURCE"))
+    # (a) reuse: same dir, builder NOT re-invoked
+    assert fixtures.materialized_fixture(
+        "t", str(corpus), ["nation"], build
+    ) == out1
+    assert len(calls) == 1
+    # (b) regenerated corpus (size change -> new fingerprint): rebuild
+    (corpus / "nation.parquet").write_bytes(b"v2-bigger")
+    out2 = fixtures.materialized_fixture("t", str(corpus), ["nation"], build)
+    assert out2 == out1 and len(calls) == 2
+    # distinct kind -> distinct dir, no collision
+    out3 = fixtures.materialized_fixture("u", str(corpus), ["nation"], build)
+    assert out3 != out1 and len(calls) == 3
