@@ -125,6 +125,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_timeseries",
     "q_dedup_clusters",
     "q_join_dpp",
+    # late-r9 change (post-review hardening): fixture materialization
+    # moved to the write-once fixtures.materialized_fixture path; was
+    # already in this window at the r6 bound, promoted here per the
+    # changed-key rule
+    "q_source_evolving_schema",
     # --- never driver-checked (registered r9) ---
     "q_event_attribution",
     # --- past staleness bound (last r5; slipped from the r8 window) ---
@@ -151,7 +156,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_topk_bruteforce",
     "q_sink_bucketed",
     "q_sink_upsert",
-    "q_source_evolving_schema",
     "q_sql_window",
     "q_stream_complete_agg",
     "q_stream_custom_state",
