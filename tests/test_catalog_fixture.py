@@ -213,3 +213,65 @@ def test_materialized_fixture_write_once_and_fingerprint(tmp_path, monkeypatch):
     # distinct kind -> distinct dir, no collision
     out3 = fixtures.materialized_fixture("u", str(corpus), ["nation"], build)
     assert out3 != out1 and len(calls) == 3
+
+
+def test_materialized_fixture_serializes_concurrent_builders(tmp_path):
+    """r9: the flock around check-build-publish must make racing
+    builders serialize — exactly ONE build happens, everyone returns
+    the same published dir, and no builder ever sees a half-written
+    fixture.  Pinned with real processes (flock is per-open-file-
+    description, so threads would not exercise the cross-process
+    path the DPP review finding was about)."""
+    import multiprocessing as mp
+    import os
+
+    # corpus created HERE, before any child: a child-side exists-check
+    # would race and a re-write shifts mtime -> fingerprint mismatch ->
+    # a legitimate second build that is not a lock failure
+    os.makedirs(tmp_path / "work")
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    (corpus / "nation.parquet").write_text("v1")
+    ctx = mp.get_context("spawn")
+    builds = ctx.Value("i", 0)
+    results: mp.Queue = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_race_build_fixture,
+            args=(str(tmp_path), builds, results),
+        )
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+    outs = [results.get(timeout=10) for _ in procs]
+    assert len(set(outs)) == 1, outs
+    assert builds.value == 1, f"{builds.value} builds — racers did not serialize"
+    with open(os.path.join(outs[0], "data.txt")) as f:
+        assert f.read() == "payload"
+
+
+def _race_build_fixture(base, builds, results):
+    """Child: point tempfile at the test dir, then build with a slow
+    builder so overlap is guaranteed if the lock fails to serialize."""
+    import os
+    import tempfile
+    import time
+
+    tempfile.gettempdir = lambda: os.path.join(base, "work")
+    corpus = os.path.join(base, "corpus")
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
+        fixtures,
+    )
+
+    def build(tmp):
+        with builds.get_lock():
+            builds.value += 1
+        time.sleep(0.5)  # widen the race window
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("payload")
+
+    results.put(fixtures.materialized_fixture("race", corpus, ["nation"], build))
