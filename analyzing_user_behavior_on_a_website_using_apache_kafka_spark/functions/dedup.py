@@ -718,10 +718,16 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-# per-fold edge budget of _forest_contract's incremental solve: two
-# int64 arrays x 4.2M edges ~ 64 MB peak per task, the same order as a
-# sort/agg task's page budget — NOT a correctness knob (any value folds
-# to the identical star forest family; the final CC labels are invariant)
+# per-fold edge budget of _forest_contract's incremental solve.  The
+# RESIDENT arrays are two int64 x 4.2M edges ~ 64 MB per task, but the
+# true transient peak is ~3-4x that (~200-270 MB): solve() concatenates
+# the two arrays (+64 MB) and np.unique(return_inverse=True) adds a
+# sort copy and an int64 inverse array of the same length (ADVICE r9 —
+# the earlier comment equated the budget to a sort/agg task's page
+# budget, which only held for the resident set).  Still O(chunk) and
+# comfortably inside a multi-GB executor task slot, which is what the
+# r8 OOM guard needs — NOT a correctness knob (any value folds to the
+# identical star forest family; the final CC labels are invariant).
 _CONTRACT_CHUNK_EDGES = 1 << 22
 
 
@@ -753,8 +759,11 @@ def _forest_contract(edges: DataFrame) -> DataFrame:
     component seen so far, so the incremental fold is lossless by the
     same argument as the pass itself — and the forest re-collapses to
     ≤ one edge per non-root local node after every fold.  Peak memory
-    is one chunk (16 B/edge × 4.2M ≈ 64 MB) plus one int per distinct
-    local node, independent of how many edges the partition holds.
+    is O(one chunk): ~64 MB resident (16 B/edge × 4.2M) plus ~3× that
+    transiently inside ``solve`` (the concatenation and
+    ``np.unique(return_inverse=True)``'s sort/inverse temporaries —
+    see the ``_CONTRACT_CHUNK_EDGES`` note) plus one int per distinct
+    local node — independent of how many edges the partition holds.
     """
     import numpy as np
     import pandas as pd

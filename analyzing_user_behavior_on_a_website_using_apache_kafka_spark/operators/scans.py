@@ -59,12 +59,21 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB schema inference is a full extra pass over the data and is
     never acceptable; with a schema the reader is a single streaming-
     decode pass.
+
+    Fixture hygiene (r10): the JSON directory is a write-once
+    ``materialized_fixture`` (deterministic per-corpus path, corpus
+    fingerprint, flock, atomic publish — ``fixtures.py``) instead of a
+    fresh ``mkdtemp`` per call, matching ``Raport.py:41``'s
+    re-read-the-same-log semantics without leaking a directory and
+    re-paying the parquet→JSON conversion on every sweep/bench call.
     """
-    out = tempfile.mkdtemp(prefix="aub_source_json_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
-    )
-    ev.write.mode("overwrite").json(out)
+
+    def _build(tmp: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").json(tmp)
+
+    out = materialized_fixture("srcjson", sf_dir, ["events"], _build)
     return spark.read.schema(
         "event_id bigint, event_type string, value double"
     ).json(out)
@@ -77,12 +86,18 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source round-trip with explicit schema + header."""
-    out = tempfile.mkdtemp(prefix="aub_source_csv_")
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    nat.write.mode("overwrite").option("header", "true").csv(out)
+    """CSV source round-trip with explicit schema + header.
+
+    Fixture hygiene (r10): write-once ``materialized_fixture`` — see
+    ``q_source_json``; same leak/re-paid-conversion fix.
+    """
+
+    def _build(tmp: str) -> None:
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").option("header", "true").csv(tmp)
+
+    out = materialized_fixture("srccsv", sf_dir, ["nation"], _build)
     return (
         spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .option("header", "true")

@@ -89,119 +89,108 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-9 window, from `python tools/propose_window.py --changed
-    # q_sample_stratified,q_sim_timeseries,q_dedup_clusters,q_join_dpp`.
-    # Four changed-plan keys lead (stratified: rates+thinned persists,
-    # 9 -> 3 documents scans, the r8 audit's queued fix landing with the
-    # key's mandatory slot; sim_timeseries: profile relation persisted,
-    # 2 -> 1 events scans, the r8 ADVICE double-scan fix; clusters:
-    # _forest_contract now folds edges in bounded 4.2M-edge chunks, the
-    # r8 ADVICE skewed-partition OOM guard; join_dpp: layout writes
-    # moved inside the memoized builder at a deterministic path — the
-    # served plan is byte-identical but the warm/cold write behavior
-    # changed, so it re-verifies per the changed-key rule).  Then the
-    # one never-checked key (q_event_attribution, staged r8, registered
-    # THIS round — registry now at the full 150-key capacity), the two
-    # past-bound r5 keys the r8 window legally slipped (q_agg_collect,
-    # q_agg_cube — hard leads here per the slip rule), then 43 of the
-    # 49 r6-checked at-bound keys.  The proposer flagged 55 mandatory
-    # keys for 50 slots; the overflow resolves by slipping FIVE at-
-    # bound r6 keys (q_funnel_conversion, q_growth_accounting,
-    # q_pack_sequences, q_path_topk, q_pipeline_curate — staleness
-    # exactly 3 after r9, legal; all family-less or family-covered)
-    # which become MANDATORY r10 leads.  Projected schedule (proposer
-    # dry-run against this window; standing guard:
+    # Round-10 window, from `python tools/propose_window.py --changed
+    # q_source_json,q_source_csv,q_sample_stratified`.  Three changed
+    # keys lead: source_json / source_csv migrated their read fixtures
+    # to the write-once fixtures.materialized_fixture path (the r9
+    # evolving-schema exemplar's committed r10 slot — deterministic
+    # per-corpus dir, fingerprint gate, flock, atomic publish; was a
+    # fresh mkdtemp + rewrite per call), and sample_stratified gained
+    # the (session, corpus) _STRAT_CACHE memo (ADVICE r9 — served plan
+    # identical, warm/cold persist behavior changed, so it re-verifies
+    # per the changed-key rule exactly as q_join_dpp did in r9).  Then
+    # the five r6-checked keys the r9 window legally slipped
+    # (q_funnel_conversion, q_growth_accounting, q_pack_sequences,
+    # q_path_topk, q_pipeline_curate — staleness exactly 3, declared
+    # NEXT_WINDOW_LEADS last round: hard leads here per the slip
+    # rule), then 41 of the 46 r7-checked at-bound keys and the
+    # udaf/udtf family pin.  The proposer flagged 54 mandatory keys
+    # for 50 slots; the overflow resolves by slipping FIVE at-bound
+    # r7 keys (q_scan_project, q_sessionize_batch, q_sort_limit,
+    # q_str_funcs, q_subquery_scalar — staleness exactly 3 after r10,
+    # legal; all family-covered) which become MANDATORY r11 leads.
+    # Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r10 = the 5 slipped r6 keys + 44 of the 48 r7-checked keys +
-    #         q_udaf_grouped (udaf/udtf family pin); 4 r7 keys slip;
-    #   r11 = the 4 slipped + the 46 r8-checked keys not re-verified
-    #         since (q_dedup_clusters/q_join_dpp/q_sim_timeseries
-    #         re-verify r9, thinning the r11 load);
-    # thereafter the windows return to the disjoint steady state.  Any
-    # key whose served plan changes must be promoted to the FRONT
+    #   r11 = the 5 slipped r7 keys + the r8-checked keys not
+    #         re-verified since (orc/xml/binaryfile fixture migration
+    #         lands there per the committed plan, promoting those
+    #         three to the front);
+    #   r12 = the r9-checked keys; thereafter disjoint steady state.
+    # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
     # --- changed this round ---
+    "q_source_json",
+    "q_source_csv",
     "q_sample_stratified",
-    "q_sim_timeseries",
-    "q_dedup_clusters",
-    "q_join_dpp",
-    # late-r9 change (post-review hardening): fixture materialization
-    # moved to the write-once fixtures.materialized_fixture path; was
-    # already in this window at the r6 bound, promoted here per the
-    # changed-key rule
-    "q_source_evolving_schema",
-    # --- never driver-checked (registered r9) ---
-    "q_event_attribution",
-    # --- past staleness bound (last r5; slipped from the r8 window) ---
-    "q_agg_collect",
-    "q_agg_cube",
-    # --- at staleness bound (last r6) ---
-    "q_agg_approx_quantile",
-    "q_agg_sketch_merge",
-    "q_agg_stats",
-    "q_cohort_retention",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dedup_near",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
-    "q_embed_normquant",
-    "q_event_transitions",
-    "q_join_range_binned",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_sample_mixture",
-    "q_sim_ann",
-    "q_sim_ivf",
-    "q_sim_topk_bruteforce",
-    "q_sink_bucketed",
-    "q_sink_upsert",
-    "q_sql_window",
-    "q_stream_complete_agg",
-    "q_stream_custom_state",
-    "q_stream_session",
-    "q_stream_static_join",
-    "q_stream_tumbling",
-    "q_text_chunk",
-    "q_text_decontaminate",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_langstats",
-    "q_text_ngram_counts",
-    "q_text_normalize",
-    "q_text_pii_scrub",
-    "q_text_repetition",
-    "q_text_rollhash",
-    "q_text_tfidf",
-    "q_text_token_bpe",
-    "q_text_unigram_logprob",
-    "q_udf_cogroup",
-    "q_udtf_explode",
-    "q_win_first_last",
-)
-
-
-# At-bound keys the window above could NOT fit (the proposer's rule-6
-# slips): they sit at staleness exactly 3 right now and MUST lead the
-# next rotation.  Declaring them here closes the round-boundary trap
-# ADVICE r8 flagged: the driver commits this round's CORRECTNESS file
-# at round END, after the last builder commit — at that instant these
-# keys read staleness bound+1 even though the process is exactly on
-# schedule, and rotation_check used to go red until the NEXT session
-# rotated (the r8-as-judged red).  tools/rotation_check.py grants keys
-# listed here a one-round allowance (staleness == bound+1, never
-# more), which self-expires: if the next rotation fails to happen and
-# another round's results land, staleness hits bound+2 and the check
-# goes red for real.  Maintained together with _PRIORITY — the
-# proposer prints this tuple alongside the window
-# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
-# fails if a listed key is fresh, unregistered, or in-window).
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    # --- past staleness bound (last r6; slipped from the r9 window) ---
     "q_funnel_conversion",
     "q_growth_accounting",
     "q_pack_sequences",
     "q_path_topk",
     "q_pipeline_curate",
+    # --- at staleness bound (last r7) ---
+    "q_agg_count_by",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_sum_avg",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_dedup_embed_cosine",
+    "q_dedup_simhash",
+    "q_event_dwell",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_range",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_join_theta_range",
+    "q_json_funcs",
+    "q_math_funcs",
+    "q_multimodal_cols",
+    "q_pivot",
+    "q_project_derive",
+    "q_sample_hash",
+    "q_sim_pq_adc",
+    "q_sink_append",
+    "q_sink_partitioned",
+    "q_sql_report",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_stream_stream_left",
+    "q_stream_watermark_late",
+    "q_text_tokens",
+    "q_text_vocab",
+    "q_udf_pandas",
+    "q_win_lag_lead",
+    # --- family pin (udaf/udtf) ---
+    "q_udaf_grouped",
+)
+
+
+# At-bound keys the window above could NOT fit (the proposer's rule-6
+# slips): they sit at staleness exactly 3 right now and MUST lead the
+# r11 rotation.  tools/rotation_check.py grants keys listed here a
+# one-round allowance (staleness == bound+1, never more), which
+# self-expires: if the next rotation fails to happen and another
+# round's results land, staleness hits bound+2 and the check goes red
+# for real.  Maintained together with _PRIORITY — the proposer prints
+# this tuple alongside the window
+# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
+# fails if a listed key is fresh, unregistered, or in-window).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_scan_project",
+    "q_sessionize_batch",
+    "q_sort_limit",
+    "q_str_funcs",
+    "q_subquery_scalar",
 )
 
 

@@ -102,11 +102,12 @@ def evict_caches(spark) -> None:
     consumer (ADVICE r6 / bench.py discussion). Any new module memo
     belongs in this list, not in per-harness copies.
     """
-    from .functions import dedup
+    from .functions import dedup, sampling
     from .operators import behavior, joins, timeseries
 
     dedup._PAIR_CACHE.clear()
     timeseries._HOURLY_CACHE.clear()
     behavior._TS_PROFILE_CACHE.clear()
     joins._DPP_LAYOUT_CACHE.clear()
+    sampling._STRAT_CACHE.clear()
     spark.catalog.clearCache()

@@ -275,3 +275,28 @@ def _race_build_fixture(base, builds, results):
             f.write("payload")
 
     results.put(fixtures.materialized_fixture("race", corpus, ["nation"], build))
+
+
+def test_source_json_csv_fixtures_are_write_once(spark, sf_dir):
+    """r10 (VERDICT r9 item 2): q_source_json / q_source_csv serve a
+    write-once materialized fixture instead of a fresh mkdtemp per
+    call.  A second call must read the SAME published files (mkdtemp
+    would yield a new directory and re-pay the parquet→json/csv
+    conversion on every sweep/bench invocation — the leak class the
+    evolving-schema key closed in r9).  The `_SOURCE` fingerprint
+    marker must live beside the data (underscore prefix keeps Spark's
+    file listing from treating it as data)."""
+    import os
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.operators.scans import (
+        q_source_csv,
+        q_source_json,
+    )
+
+    for fn in (q_source_json, q_source_csv):
+        first = sorted(fn(spark, sf_dir).inputFiles())
+        second = sorted(fn(spark, sf_dir).inputFiles())
+        assert first and first == second, fn.__name__
+        fixture_dir = os.path.dirname(first[0].removeprefix("file:"))
+        assert os.path.basename(fixture_dir).startswith("aub_fix_src")
+        assert os.path.isfile(os.path.join(fixture_dir, "_SOURCE"))

@@ -761,15 +761,29 @@ def test_memoized_caches_reuse_and_evict(spark, sf_dir):
         evict_caches,
     )
 
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions import (
+        sampling,
+    )
+
     b1 = timeseries.hourly_base(spark, sf_dir)
     assert timeseries.hourly_base(spark, sf_dir) is b1
     assert b1.storageLevel.useMemory
     d1 = joins._dpp_layout(spark, sf_dir)
     assert joins._dpp_layout(spark, sf_dir) == d1
+    # ADVICE r9: the registered stratified sample memoizes its whole
+    # plan (it owns TWO persists — rates + thinned), so repeat sweeps
+    # reuse one cache pair instead of stacking fresh entries per call
+    s1 = sampling.q_sample_stratified(spark, sf_dir)
+    assert sampling.q_sample_stratified(spark, sf_dir) is s1
+    n_strat = len(sampling._STRAT_CACHE)
+    sampling.q_sample_stratified(spark, sf_dir)
+    assert len(sampling._STRAT_CACHE) == n_strat
     evict_caches(spark)
+    assert not sampling._STRAT_CACHE
     b2 = timeseries.hourly_base(spark, sf_dir)
     assert b2 is not b1
     assert b2.storageLevel.useMemory
+    assert sampling.q_sample_stratified(spark, sf_dir) is not s1
 
 
 def test_sample_temperature_reads_documents_twice(spark, sf_dir):

@@ -505,3 +505,69 @@ def test_bench_emission_is_compact_contract_line_last(capsys):
     assert {"value", "unit", "queries", "sf"} <= set(parsed)
     assert len(last) < 4096, "contract line too large for a tail window"
     assert "per_rep" in cap.err and "per_rep" not in cap.out
+
+
+def _race_locked_replica(work, builds, results):
+    """Child for test_locked_replica_serializes_stale_rebuilds: both
+    racers see the SAME stale replica, then contend on the flock with
+    a slow builder so overlap is guaranteed if the lock fails."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_probe
+
+    out = os.path.join(work, "probe_x3")
+
+    def build(tmp):
+        with builds.get_lock():
+            builds.value += 1
+        time.sleep(0.5)  # widen the race window
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("payload")
+
+    results.put(scale_probe._locked_replica(out, "fp-v2", build))
+
+
+def test_locked_replica_serializes_stale_rebuilds(tmp_path):
+    """ADVICE r9: scale_probe's replica builders rmtree'd + rebuilt a
+    STALE published replica without a lock — two concurrent probes
+    both saw the stale dir, both built, the loser's os.rename raised
+    OSError and one racer could delete the directory the other had
+    just returned.  Pin the fixed _locked_replica: with a stale
+    replica pre-published, two real processes rebuild EXACTLY once,
+    both return the same live dir, and the payload is intact.
+    Processes, not threads — flock is per-open-file-description."""
+    import multiprocessing as mp
+    import os
+
+    # pre-publish a STALE replica (SOURCE mismatches the new fp):
+    # this is the common per-round case the ADVICE race lives in
+    stale = tmp_path / "probe_x3"
+    os.makedirs(stale)
+    (stale / "SOURCE").write_text("fp-v1")
+    (stale / "data.txt").write_text("stale")
+
+    builds = mp.Value("i", 0)
+    results = mp.Queue()
+    procs = [
+        mp.Process(
+            target=_race_locked_replica,
+            args=(str(tmp_path), builds, results),
+        )
+        for _ in range(2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+    outs = [results.get(timeout=10) for _ in range(2)]
+    assert len(set(outs)) == 1, outs
+    assert builds.value == 1, (
+        f"{builds.value} builds — stale racers did not serialize"
+    )
+    with open(os.path.join(outs[0], "data.txt")) as f:
+        assert f.read() == "payload"
+    with open(os.path.join(outs[0], "SOURCE")) as f:
+        assert f.read() == "fp-v2"

@@ -164,12 +164,44 @@ def _replica_current(out: str, fingerprint: str) -> bool:
         return False
 
 
+def _locked_replica(out: str, fp: str, build) -> str:
+    """flock-serialized check-build-publish (ADVICE r9): without the
+    lock, two concurrent probes that both saw a stale replica both
+    rmtree'd and rebuilt — the loser's os.rename raised because `out`
+    already existed, and one racer could delete a directory the other
+    had just returned.  Fixture regeneration every round makes the
+    stale path the COMMON case, so this is the same pattern as
+    fixtures.materialized_fixture / joins._dpp_layout: fast-path read
+    without the lock, then re-check under an exclusive flock before
+    building.  SOURCE is written LAST inside the staging dir, so a
+    published dir is complete by construction."""
+    import fcntl
+
+    if _replica_current(out, fp):  # fast path: published + current
+        return out
+    with open(out + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if not _replica_current(out, fp):
+                tmp = f"{out}.tmp.{os.getpid()}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp)
+                build(tmp)
+                with open(os.path.join(tmp, "SOURCE"), "w") as fh:
+                    fh.write(fp)
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+    return out
+
+
 def build_replica(k: int) -> str:
     # Replica dirs are keyed by the BASE fixture path (hashed into the
-    # dir name) and built tmp-then-atomic-rename: a bare /tmp/...​/x{k}
-    # reused unconditionally could be a partial dir from an interrupted
-    # COPY, or built from a DIFFERENT SPARK_GRAFT_SF_DIR — either one
-    # silently skews the published scaling exponents.
+    # dir name) and built under _locked_replica's flock: a bare
+    # /tmp/...​/x{k} reused unconditionally could be a partial dir from
+    # an interrupted COPY, or built from a DIFFERENT SPARK_GRAFT_SF_DIR
+    # — either one silently skews the published scaling exponents.
     import hashlib
 
     base_tag = hashlib.md5(
@@ -177,60 +209,36 @@ def build_replica(k: int) -> str:
     ).hexdigest()[:8]
     out = os.path.join(WORK, f"{base_tag}_x{k}")
     fp = _base_fingerprint(BASE_SF)
-    if os.path.isdir(out):
-        # rename is atomic, so an existing dir is completely WRITTEN —
-        # but only current if its SOURCE matches the fixture (which
-        # the driver regenerates per round at the same path)
-        if _replica_current(out, fp):
-            return out
-        shutil.rmtree(out, ignore_errors=True)
-    tmp = f"{out}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    with open(os.path.join(tmp, "SOURCE"), "w") as fh:
-        fh.write(fp)
-    con = duckdb.connect()
-    for table, id_cols in _TABLES.items():
-        src = os.path.join(BASE_SF, f"{table}.parquet")
-        cols = [r[0] for r in con.execute(
-            f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
-        proj = ", ".join(
-            f"{c} + i * {_OFF} AS {c}" if c in id_cols else c
-            for c in cols
-        )
-        con.execute(
-            f"COPY (SELECT {proj} FROM '{src}', range({k}) t(i)) "
-            f"TO '{tmp}/{table}.parquet' (FORMAT PARQUET)"
-        )
-    # small dims pass through untouched (some queries join them)
-    for table in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem"):
-        src = os.path.join(BASE_SF, f"{table}.parquet")
-        if os.path.exists(src):
-            shutil.copyfile(src, os.path.join(tmp, f"{table}.parquet"))
-    return _finish_replica(tmp, out)
 
+    def _build(tmp: str) -> None:
+        con = duckdb.connect()
+        for table, id_cols in _TABLES.items():
+            src = os.path.join(BASE_SF, f"{table}.parquet")
+            cols = [r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+            proj = ", ".join(
+                f"{c} + i * {_OFF} AS {c}" if c in id_cols else c
+                for c in cols
+            )
+            con.execute(
+                f"COPY (SELECT {proj} FROM '{src}', range({k}) t(i)) "
+                f"TO '{tmp}/{table}.parquet' (FORMAT PARQUET)"
+            )
+        # small dims pass through untouched (some queries join them)
+        for table in ("region", "nation", "customer", "supplier",
+                      "part", "orders", "lineitem"):
+            src = os.path.join(BASE_SF, f"{table}.parquet")
+            if os.path.exists(src):
+                shutil.copyfile(src, os.path.join(tmp, f"{table}.parquet"))
 
-def _finish_replica(tmp: str, out: str) -> str:
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        # Either we lost a race to a concurrent builder (theirs won and
-        # `out` now exists — fine) or the rename genuinely failed
-        # (cross-device WORK dir, permissions). Only the first case may
-        # be swallowed: returning a path that does not exist would
-        # surface later as a confusing parquet-read error (ADVICE r6).
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(out):
-            raise
-    return out
+    return _locked_replica(out, fp, _build)
 
 
 def build_sparse_replica(base_sf: str, k: int) -> str:
     """Documents replicated K× with per-replica token suffixing (see
     PAIR_PROBES note) + doc_id offset; every other table passes through
-    untouched. Same hash-keyed, tmp-then-atomic-rename discipline as
-    build_replica."""
+    untouched. Same hash-keyed, flock-serialized check-build-publish
+    discipline as build_replica (_locked_replica)."""
     import hashlib
 
     base_tag = hashlib.md5(
@@ -238,42 +246,38 @@ def build_sparse_replica(base_sf: str, k: int) -> str:
     ).hexdigest()[:8]
     out = os.path.join(WORK, f"{base_tag}_sparse_x{k}")
     fp = _base_fingerprint(base_sf)
-    if os.path.isdir(out):
-        if _replica_current(out, fp):
-            return out
-        shutil.rmtree(out, ignore_errors=True)
-    tmp = f"{out}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    with open(os.path.join(tmp, "SOURCE"), "w") as fh:
-        fh.write(fp)
-    con = duckdb.connect()
-    src = os.path.join(base_sf, "documents.parquet")
-    # suffix `_i_i`: >=2 char edits per token between any two replicas,
-    # disjoint token vocabularies, and n_chars updated to match so any
-    # metadata-based length filter stays consistent with the text
-    con.execute(
-        rf"""
-        COPY (
-          SELECT doc_id + i * {_OFF} AS doc_id,
-                 regexp_replace(text, '(\S+)',
-                     '\1_' || CAST(i AS VARCHAR) || '_'
-                          || CAST(i AS VARCHAR), 'g') AS text,
-                 lang, source,
-                 CAST(len(regexp_replace(text, '(\S+)',
-                     '\1_' || CAST(i AS VARCHAR) || '_'
-                          || CAST(i AS VARCHAR), 'g')) AS INT)
-                   AS n_chars
-          FROM '{src}', range({k}) t(i)
-        ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    for table in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "embeddings"):
-        s = os.path.join(base_sf, f"{table}.parquet")
-        if os.path.exists(s):
-            shutil.copyfile(s, os.path.join(tmp, f"{table}.parquet"))
-    return _finish_replica(tmp, out)
+
+    def _build(tmp: str) -> None:
+        con = duckdb.connect()
+        src = os.path.join(base_sf, "documents.parquet")
+        # suffix `_i_i`: >=2 char edits per token between any two
+        # replicas, disjoint token vocabularies, and n_chars updated to
+        # match so any metadata-based length filter stays consistent
+        # with the text
+        con.execute(
+            rf"""
+            COPY (
+              SELECT doc_id + i * {_OFF} AS doc_id,
+                     regexp_replace(text, '(\S+)',
+                         '\1_' || CAST(i AS VARCHAR) || '_'
+                              || CAST(i AS VARCHAR), 'g') AS text,
+                     lang, source,
+                     CAST(len(regexp_replace(text, '(\S+)',
+                         '\1_' || CAST(i AS VARCHAR) || '_'
+                              || CAST(i AS VARCHAR), 'g')) AS INT)
+                       AS n_chars
+              FROM '{src}', range({k}) t(i)
+            ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        for table in ("region", "nation", "customer", "supplier",
+                      "part", "orders", "lineitem", "events",
+                      "embeddings"):
+            s = os.path.join(base_sf, f"{table}.parquet")
+            if os.path.exists(s):
+                shutil.copyfile(s, os.path.join(tmp, f"{table}.parquet"))
+
+    return _locked_replica(out, fp, _build)
 
 
 def run_cc_probe(ks: list[int]) -> None:
