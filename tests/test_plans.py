@@ -8,6 +8,8 @@ is invisible to the value-correctness oracle but catastrophic at 100 TB.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
@@ -831,3 +833,63 @@ def test_sample_stratified_reads_documents_thrice(spark, sf_dir):
     fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     scans = fmt.count("documents.parquet")
     assert scans == 3, f"expected the 3-scan floor, saw {scans}"
+
+
+@pytest.mark.parametrize(
+    "key,table,floor",
+    [
+        ("q_dedup_ngram_jaccard", "documents.parquet", 4),
+        ("q_dedup_containment", "documents.parquet", 4),
+        ("q_dedup_editdist", "documents.parquet", 4),
+        ("q_dedup_embed_cosine", "embeddings.parquet", 4),
+    ],
+)
+def test_pair_join_keys_sit_at_their_scan_floor(spark, sf_dir, key, table, floor):
+    """r10 scan-shape pins (VERDICT r9 item 4): each pair-join dedup
+    key reads its corpus exactly 4x by design — postings/bucket build,
+    the two verify sides, and the keeper/labeling side — with the
+    shared pair relation persisted (InMemoryRelation) so no consumer
+    re-derives it through ITS own extra scans.  The r8 q_sim_timeseries
+    regression class is a refactor silently dropping a persist and the
+    scan count exploding; pin each key at its audited floor so that
+    surfaces as a red test, not a bench delta."""
+    df = registry.all_queries()[key](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.optimizedPlan().toString().count("InMemoryRelation") >= 1
+    fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    scans = fmt.count(table)
+    assert scans == floor, f"{key}: expected the {floor}-scan floor, saw {scans}"
+
+
+def test_session_cache_stays_slim_across_full_persisting_sweep(spark):
+    """r10 (VERDICT r9 item 6): the _CACHE_OWNERSHIP contract claims
+    every session-lifetime persist is a slim projection (ids + hashes,
+    never text or embeddings) so the aggregate resident set is
+    O(corpus keys).  Measure it: run ALL 14 persisting keys at sf0.1
+    in one session and assert the BlockManager total stays under
+    256 MB (measured r10: ~48 MB — 5x headroom; the dominant entry is
+    the verified-pairs memo, Ω(true pairs) on the pathologically dense
+    fixture).  A persist that starts caching document text would blow
+    this budget immediately (~5k docs x ~2 KB text x 14 keys alone
+    lands near the bound, and the pair tables would multiply it)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cache_pressure
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+        evict_caches,
+    )
+
+    rep = cache_pressure.measure(spark, "/root/testdata/sf0.1")
+    try:
+        budget = 256 * 1024 * 1024
+        assert rep["total_bytes"] < budget, rep
+        # MEMORY_AND_DISK must spill, never evict: with the set this
+        # slim nothing should have reached disk at all
+        assert rep["disk_bytes"] == 0, rep
+        assert rep["n_cached_rdds"] >= len(cache_pressure.PERSISTING_KEYS) - 3
+    finally:
+        # sf0.1 relations + memos keyed to a non-default corpus must
+        # not leak into later tests' sf0.001 session state
+        evict_caches(spark)
