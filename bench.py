@@ -10,8 +10,11 @@ agg, multiway join, window, top-k, as-of, text tokenize, tfidf, dedup,
 similarity (brute-force AND the bucketed ANN path), one stateful
 streaming job (stream-static join) so the state-store path has a tracked
 wall-time, and one behavior-analytics query (ordered-step funnel — the
-reference's user-analytics workload generalized). Each query executes to completion (count() materializes the
-full plan; nothing collects to the driver).
+reference's user-analytics workload generalized). Each query executes
+to completion via ``_consume`` — a sum-of-hash over every output
+column, so the FULL plan materializes (a bare count() lets Catalyst
+eliminate outer joins — six keys under-measured through r9) while
+nothing but one row reaches the driver.
 
 EXTENDED set = the two most expensive LLM-pipeline plans (exact jaccard
 self-join and connected components), tracked separately because on this
@@ -135,6 +138,24 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _consume(df) -> None:
+    """Execute the query computing EVERY output column.
+
+    ``.count()`` — the consumer through r9 — is NOT that: Catalyst
+    eliminates a (left-)outer join under a count when the other side's
+    join keys are provably distinct and none of its columns survive
+    pruning, so six keys timed a cheaper plan than the one the driver's
+    collect() executes (r10 census find; worst: q_dedup_semantic lost
+    all 4 joins, q_dedup_simhash its whole banded candidate side).
+    ``sum(hash(*))`` defeats the pruning at a one-row result cost —
+    unlike collect(), it still excludes driver-side row transfer, which
+    is the boundary a throughput number should stop at.  The r10
+    BENCH discontinuity on the affected keys is documented in SCALE.md
+    ("bench consumer fixed").
+    """
+    df.select(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
+
+
 def emit(compact: dict, detail: dict) -> None:
     """Print the driver-contract output: per-rep detail to STDERR, the
     ONE compact JSON line to STDOUT — LAST, so a byte-limited tail
@@ -180,7 +201,7 @@ def main() -> None:
         rep: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            _consume(qs[name](spark, sf_dir))
             rep[name] = round(time.time() - t0, 3)
         per_rep.append(rep)
     timings = {
@@ -217,7 +238,7 @@ def main() -> None:
 
                 evict_caches(spark)
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            _consume(qs[name](spark, sf_dir))
             reps.append(round(time.time() - t0, 3))
         extended[name] = round(_median(reps), 3)
         if len(reps) > 1:
