@@ -1199,7 +1199,14 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-margin analysis; the recall gates in tests/test_northstar.py
     additionally pin approximation QUALITY, which no exact replay can.
     """
-    from .similarity import bucketed_all_tables, cosine
+    from ..serialization import pickle_module_by_value
+    from . import similarity
+    from .similarity import bucketed_all_tables, cosine_arrow
+
+    # cosine_arrow ships to executor Python workers; by-value pickling
+    # makes it importable-path-independent (same contract as
+    # similarity's own pandas-UDF call sites)
+    pickle_module_by_value(similarity.__name__)
 
     dim = 64  # embeddings fixture dimension (FIXTURES.md)
     from pyspark import StorageLevel
@@ -1239,6 +1246,12 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r7 per-stage profile: 29 s CPU of higher-order array math at
     # sf0.1) — symmetrizing the pair list BEFORE scoring, as through
     # r6, computed every cosine twice and doubled both embedding joins.
+    # r10: the scorer is the Arrow-vectorized cosine_arrow — the
+    # verify volume here is ALL candidate pairs (815k at sf0.1), where
+    # the interpreted higher-order expression was the measured
+    # bottleneck once the bench consumer stopped letting Catalyst
+    # prune it (SCALE.md r10 "bench consumer fixed"; 3.6 -> 2.7 s
+    # steady, 9.6 -> 3.4 s first-run, round-6-exact vs the expression).
     emb_a = v.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ea"))
     emb_b = v.select(F.col("vec_id").alias("nn_id"), F.col("emb").alias("eb"))
     # persisted: the union below consumes it twice, and the cosine's
@@ -1249,7 +1262,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.join(emb_a, "doc_id")
         .join(emb_b, "nn_id")
         .select(
-            "doc_id", "nn_id", cosine(F.col("ea"), F.col("eb")).alias("sim")
+            "doc_id", "nn_id", cosine_arrow(F.col("ea"), F.col("eb")).alias("sim")
         )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     scored = scored_half.unionByName(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from ..catalog import load_table
 from ..registry import query
@@ -42,6 +42,42 @@ def _dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@F.pandas_udf(DoubleType())  # typed object, not a DDL string (see
+# _lsh_bucket_ids note — strings parse against the active session)
+def cosine_arrow(ea, eb):  # pd.Series[list[float]] x2 -> pd.Series[float]
+    """Vectorized cosine for PAIR-VERIFICATION stages: each Arrow batch
+    stacks the two embedding columns into (batch × dim) matrices and
+    does three numpy row-reductions — the same one-matmul-per-batch
+    trick as `_lsh_bucket_ids`, and for the same reason: the
+    pure-expression `cosine` runs 3 higher-order `aggregate` lambdas
+    per row, which Catalyst interprets rather than codegens (measured
+    r10 on q_dedup_embed_cosine's 815k sf0.1 candidates: 3.6 s steady /
+    9.6 s first-run-with-codegen vs 2.7 / 3.4 s here, 8 cpus).
+
+    Float contract: numpy's pairwise summation orders the 64-term dot
+    differently from the sequential `aggregate` fold AND from DuckDB's
+    `list_dot_product` — all three already differ, and the oracle
+    comparison is at ROUND(·, 6) where the fixture-measured margins
+    dominate reordering error by ≥9 orders (q_sim_ann's float-margin
+    analysis; re-measured per-fixture in tests/test_northstar.py).
+    Equality with the expression path at round-6 over the full sf0.1
+    candidate set was verified when this landed (0 disagreements).
+
+    Use where the per-pair verify volume dominates (embed near-dup);
+    the broadcast-probe top-k keys keep the JVM expression — their
+    probe × corpus volume is small and JVM-side avoids shipping the
+    corpus embeddings through Python workers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    A = np.stack(ea.values)
+    B = np.stack(eb.values)
+    return pd.Series(
+        (A * B).sum(1) / (np.sqrt((A * A).sum(1)) * np.sqrt((B * B).sum(1)))
+    )
 
 
 @query(

@@ -122,6 +122,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_source_json",
     "q_source_csv",
     "q_sample_stratified",
+    # late-r10 change: the pair-verify scorer moved to the Arrow-
+    # vectorized cosine (functions/similarity.cosine_arrow) after the
+    # bench-consumer fix exposed the interpreted higher-order
+    # expression as the stage bottleneck; was already in this window
+    # at the r7 bound, promoted here per the changed-key rule
+    "q_dedup_embed_cosine",
     # --- past staleness bound (last r6; slipped from the r9 window) ---
     "q_funnel_conversion",
     "q_growth_accounting",
@@ -136,7 +142,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_sum_avg",
     "q_array_funcs",
     "q_date_funcs",
-    "q_dedup_embed_cosine",
     "q_dedup_simhash",
     "q_event_dwell",
     "q_filter_eq",

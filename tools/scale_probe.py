@@ -44,6 +44,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+# timed consumer shared with the bench: sum(hash(*)) computes every
+# output column.  count() — the consumer through r10 — let Catalyst
+# eliminate outer joins AND prune expensive projections (the cosine /
+# hamming / containment verify columns), so probes timed a cheaper
+# plan than any real consumer executes and the fitted exponents
+# reflected the pruned plan (bench._consume docstring, SCALE.md r10).
+from bench import _consume
+
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
     registry,
 )
@@ -179,6 +187,7 @@ def _locked_replica(out: str, fp: str, build) -> str:
 
     if _replica_current(out, fp):  # fast path: published + current
         return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)  # fresh WORK dir
     with open(out + ".lock", "w") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         try:
@@ -342,7 +351,7 @@ def run_cc_probe(ks: list[int]) -> None:
             reps = []
             for _ in range(2):
                 t0 = time.time()
-                connected_components(nodes, edges).count()
+                _consume(connected_components(nodes, edges))
                 reps.append(time.time() - t0)
             times[case][k] = round(min(reps), 2)
             print(
@@ -406,7 +415,7 @@ def main() -> None:
     qs = registry.all_queries()
     kmin = min(ks)
     for name in probes:  # warmup: JIT + parquet footers, discarded
-        qs[name](spark, dirs[kmin]).count()
+        _consume(qs[name](spark, dirs[kmin]))
     times: dict[str, dict[int, float]] = {}
     for name in probes:
         times[name] = {}
@@ -420,7 +429,7 @@ def main() -> None:
                 # must move together.
                 evict_caches(spark)
                 t0 = time.time()
-                qs[name](spark, dirs[k]).count()
+                _consume(qs[name](spark, dirs[k]))
                 reps.append(time.time() - t0)
             times[name][k] = round(min(reps), 2)
     kmax = max(ks)
