@@ -931,6 +931,15 @@ def connected_components(
 # growing with n (2^width ≳ bands·n²/candidate-budget) — fixed-width
 # banding saturates by construction; the sparse-replica probe
 # (tools/scale_probe.py --pairs) tracks the measured exponent.
+# r10 MEASURED the saturation once the probe consumer stopped letting
+# Catalyst prune the candidate side: exponent 1.96 at 10→100×
+# (50k docs, 1739 s) — the predicted ~n²/2^15 chance-collision
+# quadrant, now a number instead of a comment.  The production recipe
+# stands: beyond ~10k docs per band space, widen (128-bit fingerprint
+# = 4×32-bit bands via two bigint columns) or shard the band key by a
+# coarse corpus partition; MinHash-LSH (q_dedup_near, measured 0.69)
+# is the scale-path near-dup default, with simhash-60 the cheap
+# small-corpus/per-shard tool.
 _SIMHASH_BITS = 60
 _SIMHASH_BANDS = 4  # 4 × 15-bit bands block the pair search
 _HAMMING_MAX = 3
