@@ -8,7 +8,7 @@ The LLM-data-pipeline dedup ladder, each a separate declared query:
 - ngram Jaccard: exact similarity join via lossless prefix filtering;
 - clusters: connected components over the near-dup graph (iterative
   min-label propagation), keeper per component;
-- simhash: 60-bit sign-sum fingerprint, banded for hamming-≤k pairs;
+- simhash: 128-bit sign-sum fingerprint, banded for hamming-≤k pairs;
 - embedding cosine: LSH-candidate nearest-neighbor flagging.
 
 At 100 TB exact dedup groups on a 128-bit fingerprint instead of the
@@ -38,7 +38,10 @@ queries so medians measure cold plans, not CacheManager reuse
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -918,104 +921,215 @@ def connected_components(
 
 # --- SimHash --------------------------------------------------------------
 
-# 60 bits = 4 × 15-bit bands (was 48/4×12 through r6). Band width is
-# THE scale knob of fixed-width banding: chance band collisions between
-# unrelated documents arrive at rate ~bands·n²/2^width, so each added
-# band bit halves the quadratic term. 15-bit bands buy 8× the bucket
-# space of 12-bit at +25% fingerprint compute — which the persisted
-# signature table pays exactly once per corpus. 60 stays inside a
-# BIGINT with sign-bit headroom; the pigeonhole losslessness for
-# hamming ≤ 3 needs only >=4 bands and is width-independent, and the
-# driver-checked invariant (identical token sets ⇒ hamming 0, in every
-# band) is width-independent too. At 100 TB this constant must keep
-# growing with n (2^width ≳ bands·n²/candidate-budget) — fixed-width
-# banding saturates by construction; the sparse-replica probe
-# (tools/scale_probe.py --pairs) tracks the measured exponent.
-# r10 MEASURED the saturation once the probe consumer stopped letting
-# Catalyst prune the candidate side: exponent 1.96 at 10→100×
+# 128 bits = 4 × 32-bit bands (r11; was 60/4×15 through r10, 48/4×12
+# through r6). Band width is THE scale knob of fixed-width banding:
+# chance band collisions between unrelated documents arrive at rate
+# ~bands·n²/2^width, so each added band bit halves the quadratic term.
+# r10 MEASURED the 15-bit saturation once the probe consumer stopped
+# letting Catalyst prune the candidate side: exponent 1.96 at 10→100×
 # (50k docs, 1739 s) — the predicted ~n²/2^15 chance-collision
-# quadrant, now a number instead of a comment.  The production recipe
-# stands: beyond ~10k docs per band space, widen (128-bit fingerprint
-# = 4×32-bit bands via two bigint columns) or shard the band key by a
-# coarse corpus partition; MinHash-LSH (q_dedup_near, measured 0.69)
-# is the scale-path near-dup default, with simhash-60 the cheap
-# small-corpus/per-shard tool.
-_SIMHASH_BITS = 60
-_SIMHASH_BANDS = 4  # 4 × 15-bit bands block the pair search
+# quadrant. 32-bit bands move the wall by 2^17: chance candidates
+# 4·(n²/2)/2^32 stay under ~10k pairs out to ~5 M docs per band space,
+# and a per-shard corpus partition (prepend a shard column to the band
+# key) covers beyond that. The fingerprint is stored as FOUR bigint
+# columns sh0..sh3, one 32-bit band word each — the band key IS the
+# word (no shift/mask at join time) and nothing touches a bigint's
+# sign bit, so no unsigned-shift gymnastics anywhere. Bits 0..63 come
+# from xxhash64(token), bits 64..127 from xxhash64(1, token) — two
+# independent 64-bit hash families, both JVM-side.
+# Width-independent invariants that survive the widening unchanged:
+# pigeonhole losslessness for hamming ≤ 3 needs only >=4 bands, and
+# the driver-checked oracle (identical token sets ⇒ hamming 0, in
+# every band) is a pure function of the token-hash set. NOTE the
+# THRESHOLD's meaning does tighten: hamming ≤3 of 128 is a stricter
+# similarity gate than ≤3 of 60 (Google's production config is 64-bit
+# /≤3; 128/≤3 is a high-precision near-dup filter). MinHash-LSH
+# (q_dedup_near, tunable recall) remains the scale-path near-dup
+# default; simhash is the cheap high-precision tool.
+_SIMHASH_BITS = 128
+_SIMHASH_BANDS = 4  # 4 × 32-bit bands block the pair search
+_SIMHASH_BAND_WIDTH = _SIMHASH_BITS // _SIMHASH_BANDS  # 32
 _HAMMING_MAX = 3
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → `_SIMHASH_BITS`-bit SimHash over distinct word tokens (map-only).
+    """doc_id → 128-bit SimHash over distinct word tokens (map-only).
 
     Classic sign-sum construction (Charikar 2002): bit i of the
     fingerprint is set iff more token hashes have bit i set than not.
-    Pure higher-order JVM expressions over the token array — zero
-    shuffle, zero Python.
+    Output schema is doc_id + sh0..sh3, one bigint per 32-bit band
+    word (band j covers global bits 32j..32j+31); the split
+    representation keeps every value positive (no bigint sign-bit
+    handling) and makes each band key a plain column reference in the
+    band join.
+
+    Hybrid JVM/Arrow split, measured at sf0.1 (5k docs, 32 threads):
+    token hashing stays a JVM expression (xxhash64 over the distinct
+    token array — deterministic, matches the pure-Python test
+    reference), while the 128-bit majority vote is an Arrow-batched
+    pandas_udf (numpy shift/mask + add.reduceat per bit). The
+    all-expression alternatives do NOT codegen well at this width:
+    128 × size(filter(...)) ran 7.1 s steady, 128 × F.aggregate
+    8.1 s, a 64-field count-struct aggregate 16 s — versus 0.47 s for
+    the vectorized UDF. (Pre-r11 the expression form LOOKED fast
+    because a lambda-arity bug made all 128 bit tests the same
+    expression — Catalyst CSE collapsed them into one pass, and every
+    fingerprint collapsed to all-ones/all-zero. The bug: PySpark
+    derives a higher-order lambda's arity from its Python signature,
+    so `lambda h, m=mask:` is the TWO-argument (element, index) form
+    and the "default" silently binds to the ARRAY INDEX.
+    tests/test_northstar.py now pins the construction bit-exactly
+    against a pure-Python sign-sum of the collected token hashes,
+    which a degenerate or drifted fingerprint cannot pass.)
+    Still map-only — no shuffle; the Arrow hop ships (doc_id, 2 hash
+    arrays) once per doc and returns 32 bytes.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
-    n = F.size(hashes)
-    fp = F.lit(0).cast("bigint")
-    for i in range(_SIMHASH_BITS):
-        # mask-test bit i: bitwiseAND stays in Column algebra (shiftright
-        # cannot be invoked on a higher-order lambda variable)
-        mask = F.lit(1 << i).cast("bigint")
-        ones = F.size(
-            F.filter(hashes, lambda h, m=mask: h.bitwiseAND(m) != 0)
-        )
-        # bit set when ones > n/2 (sign of sum(+1/-1) positive)
-        fp = fp + F.when(ones * 2 > n, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return d.select("doc_id", fp.alias("simhash"))
+    # two independent 64-bit hash families cover the 128 bit positions
+    hashes_lo = F.transform(toks, lambda w: F.xxhash64(w))
+    hashes_hi = F.transform(toks, lambda w: F.xxhash64(F.lit(1), w))
+    return d.select(
+        "doc_id", _simhash_sign_sum(hashes_lo, hashes_hi).alias("s")
+    ).select(
+        "doc_id",
+        *[F.col(f"s.sh{j}").alias(f"sh{j}") for j in range(_SIMHASH_BANDS)],
+    )
+
+
+# Module-level DECORATED definition, deliberately in the house style of
+# similarity.cosine_arrow, for two load-bearing reasons:
+#  - one udf object per process: PythonUDF equality feeds CacheManager
+#    canonical-plan matching, and a per-call closure would make each
+#    q_dedup_simhash invocation persist its own copy of the signature
+#    table instead of reusing the entry;
+#  - the DECORATOR must replace the function's module-level name.
+#    `F.pandas_udf(_impl, t)` with `_impl` still importable lets
+#    cloudpickle serialize the udf BY REFERENCE (module + qualname),
+#    and the driver harness's vanilla session then dies in the Python
+#    workers with ModuleNotFoundError — workers don't inherit the
+#    driver's sys.path mutations. Decorating shadows the raw function,
+#    cloudpickle falls back to by-value, and the udf ships
+#    self-contained (caught by the /verify vanilla-session check, r11).
+# DataType object, not a DDL string: a DDL type would parse against
+# whatever session is active at import time (breaks pytest collection).
+@F.pandas_udf(
+    StructType(
+        [StructField(f"sh{j}", LongType()) for j in range(_SIMHASH_BANDS)]
+    )
+)
+def _simhash_sign_sum(hlo: pd.Series, hhi: pd.Series) -> pd.DataFrame:
+    cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
+    nrows = len(hlo)
+    out = np.zeros((nrows, _SIMHASH_BANDS), dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    # null/empty token arrays → all-zero fingerprint (0*2 > 0 is
+    # false for every bit, same as the expression form)
+    arrs_lo = [
+        np.asarray(x, dtype=np.int64) if x is not None else empty
+        for x in hlo
+    ]
+    arrs_hi = [
+        np.asarray(x, dtype=np.int64) if x is not None else empty
+        for x in hhi
+    ]
+    lens = np.fromiter((len(x) for x in arrs_lo), np.int64, count=nrows)
+    nz = lens > 0
+    if not nz.any():
+        return pd.DataFrame(out, columns=cols)
+    # row-start offsets into the flattened hash stream, compacted
+    # to NON-EMPTY rows only: reduceat demands every index be a
+    # valid position (a trailing empty row's offset == len(flat)
+    # raises), and equal neighboring offsets would return the
+    # single element instead of an empty sum. Compacted offsets
+    # sidestep both quirks: consecutive non-empty rows differ by
+    # exactly the earlier row's length.
+    offs = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    offs_nz = offs[nz]
+    half = lens[nz]
+    for wsel, arrs in ((0, arrs_lo), (1, arrs_hi)):
+        # int64 → uint64 view: logical (not sign-extending) shifts
+        flat = np.concatenate(arrs).view(np.uint64)
+        for b in range(64):
+            bits = ((flat >> np.uint64(b)) & np.uint64(1)).astype(
+                np.int64
+            )
+            ones = np.add.reduceat(bits, offs_nz)
+            g = wsel * 64 + b  # global bit position
+            j, i = divmod(g, _SIMHASH_BAND_WIDTH)
+            sel = np.zeros(nrows, dtype=bool)
+            sel[nz] = (2 * ones) > half  # strict majority
+            out[sel, j] |= 1 << i
+    return pd.DataFrame(out, columns=cols)
 
 
 def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup pairs by SimHash hamming ≤ 3.
 
-    Fingerprints band into 4 × 15-bit keys; a pair is a candidate iff it
-    collides in ≥1 band (pigeonhole: hamming ≤ 3 over 4 bands forces one
-    identical band — the blocking is *lossless* for the ≤3 threshold).
-    Exact hamming via bit_count(xor) verifies candidates. Band-bucketed
-    equi-join, never all-pairs. Completeness is property-tested against
-    a Python all-pairs hamming scan (tests/test_northstar.py).
+    Fingerprints band into 4 × 32-bit keys (the stored band words
+    sh0..sh3 — no shift/mask at join time); a pair is a candidate iff
+    it collides in ≥1 band (pigeonhole: hamming ≤ 3 over 4 bands forces
+    one identical band — the blocking is *lossless* for the ≤3
+    threshold). Exact hamming via summed per-word bit_count(xor)
+    verifies candidates. Band-bucketed equi-join, never all-pairs;
+    chance collisions arrive at ~4·(n²/2)/2^32 — the r10 probe
+    measured the old 15-bit bands quadratic (exponent 1.96, 1739 s at
+    50k docs), which the 32-bit widening retires. Completeness is
+    property-tested against a Python all-pairs hamming scan
+    (tests/test_northstar.py).
 
     The signature table is PERSISTED (landed r7, with q_dedup_simhash
     in the driver window): it feeds 4 band projections × both self-join
-    sides = 8 subtree copies, and the higher-order-lambda fingerprint
-    expression defeats exchange reuse (see
-    prefix_filtered_jaccard_join), so unpersisted the 60-term sign-sum
-    recomputes ~8× (20 parquet scans audited at r6 end). One slim
-    (doc_id, bigint) row per doc — MEMORY_AND_DISK spills, never OOMs.
-    Session-lifetime cache by design (_CACHE_OWNERSHIP, module top).
+    sides = 8 subtree copies, so unpersisted the Arrow-batched
+    sign-sum UDF recomputes ~8× (20 parquet scans audited at r6 end).
+    One slim (doc_id, 4×bigint) row per doc — MEMORY_AND_DISK spills,
+    never OOMs. Session-lifetime cache by design (_CACHE_OWNERSHIP,
+    module top).
     """
     from pyspark import StorageLevel
 
     sigs = simhash_fingerprints(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    band_width = _SIMHASH_BITS // _SIMHASH_BANDS
+    sig_cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
     bands = []
     for j in range(_SIMHASH_BANDS):
         bands.append(
             sigs.select(
                 "doc_id",
-                "simhash",
+                *sig_cols,
                 F.lit(j).alias("band_id"),
-                F.shiftright("simhash", j * band_width)
-                .bitwiseAND((1 << band_width) - 1)
-                .alias("band_key"),
+                F.col(f"sh{j}").alias("band_key"),
             )
         )
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+            for c in sig_cols
+        ),
+        start=F.lit(0),
     )
+    # Emit each pair from its FIRST colliding band only: band j
+    # survives iff no band j' < j already matched. A hamming-0 pair
+    # collides in all 4 bands, and on a self-similar corpus most true
+    # pairs ARE hamming-0 — so the old dropDuplicates shuffled ~4×
+    # the output (39 M rows for 9.8 M pairs at sf0.1) just to throw
+    # 3/4 away. The banded rows already carry every band word for the
+    # hamming check, so this is a map-side filter replacing an entire
+    # exchange+dedup stage (r11; the same trick does not transfer to
+    # minhash_lsh_pairs, whose banded rows carry only the one hashed
+    # band key).
+    first_band = None
+    for j in range(_SIMHASH_BANDS):
+        cond = (F.col("a.band_id") == j)
+        for jp in range(j):
+            cond = cond & (F.col(f"a.sh{jp}") != F.col(f"b.sh{jp}"))
+        first_band = cond if first_band is None else (first_band | cond)
     return (
         a.join(
             b,
@@ -1023,13 +1137,12 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= _HAMMING_MAX)
+        .filter(first_band & (hamming <= _HAMMING_MAX))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

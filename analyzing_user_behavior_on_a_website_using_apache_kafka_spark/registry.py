@@ -89,94 +89,84 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-10 window, from `python tools/propose_window.py --changed
-    # q_source_json,q_source_csv,q_sample_stratified`.  Three changed
-    # keys lead: source_json / source_csv migrated their read fixtures
-    # to the write-once fixtures.materialized_fixture path (the r9
-    # evolving-schema exemplar's committed r10 slot — deterministic
-    # per-corpus dir, fingerprint gate, flock, atomic publish; was a
-    # fresh mkdtemp + rewrite per call), and sample_stratified gained
-    # the (session, corpus) _STRAT_CACHE memo (ADVICE r9 — served plan
-    # identical, warm/cold persist behavior changed, so it re-verifies
-    # per the changed-key rule exactly as q_join_dpp did in r9).  Then
-    # the five r6-checked keys the r9 window legally slipped
-    # (q_funnel_conversion, q_growth_accounting, q_pack_sequences,
-    # q_path_topk, q_pipeline_curate — staleness exactly 3, declared
+    # Round-11 window, from `python tools/propose_window.py --changed
+    # q_dedup_simhash`.  One changed key leads: q_dedup_simhash's
+    # served plan changed twice this round — the fingerprint widened
+    # 60→128 bits (4×32-bit band words sh0..sh3, Arrow-vectorized
+    # sign-sum) after r11 diagnosis showed the pre-r11 fingerprints
+    # were DEGENERATE (higher-order lambda arity trap bound each bit
+    # mask to the array index; all-ones/all-zero fingerprints were the
+    # true cause of the r10 probe quadratic), and the band join now
+    # emits each pair from its first colliding band (no dedup
+    # shuffle).  Then the five r7-checked keys the r10 window slipped
+    # (q_scan_project, q_sessionize_batch, q_sort_limit, q_str_funcs,
+    # q_subquery_scalar — staleness exactly 3, declared
     # NEXT_WINDOW_LEADS last round: hard leads here per the slip
-    # rule), then 41 of the 46 r7-checked at-bound keys and the
-    # udaf/udtf family pin.  The proposer flagged 54 mandatory keys
-    # for 50 slots; the overflow resolves by slipping FIVE at-bound
-    # r7 keys (q_scan_project, q_sessionize_batch, q_sort_limit,
-    # q_str_funcs, q_subquery_scalar — staleness exactly 3 after r10,
-    # legal; all family-covered) which become MANDATORY r11 leads.
-    # Projected schedule (standing guard:
+    # rule), then 43 of the 46 r8-checked at-bound keys and the sim
+    # family pin.  The proposer flagged 53 mandatory keys for 50
+    # slots; the overflow resolves by slipping THREE at-bound r8 keys
+    # (q_union_all, q_union_distinct, q_unpivot — staleness exactly 3
+    # after r11, legal; all family-covered) which become MANDATORY
+    # r12 leads.  Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r11 = the 5 slipped r7 keys + the r8-checked keys not
-    #         re-verified since (orc/xml/binaryfile fixture migration
-    #         lands there per the committed plan, promoting those
-    #         three to the front);
-    #   r12 = the r9-checked keys; thereafter disjoint steady state.
+    #   r12 = the 3 slipped r8 keys + the r9-checked keys;
+    #   r13 = the r10-checked keys; thereafter disjoint steady state.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
     # --- changed this round ---
-    "q_source_json",
-    "q_source_csv",
-    "q_sample_stratified",
-    # late-r10 change: the pair-verify scorer moved to the Arrow-
-    # vectorized cosine (functions/similarity.cosine_arrow) after the
-    # bench-consumer fix exposed the interpreted higher-order
-    # expression as the stage bottleneck; was already in this window
-    # at the r7 bound, promoted here per the changed-key rule
-    "q_dedup_embed_cosine",
-    # --- past staleness bound (last r6; slipped from the r9 window) ---
-    "q_funnel_conversion",
-    "q_growth_accounting",
-    "q_pack_sequences",
-    "q_path_topk",
-    "q_pipeline_curate",
-    # --- at staleness bound (last r7) ---
-    "q_agg_count_by",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_sum_avg",
-    "q_array_funcs",
-    "q_date_funcs",
     "q_dedup_simhash",
-    "q_event_dwell",
-    "q_filter_eq",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_range",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_salted",
-    "q_join_theta_range",
-    "q_json_funcs",
-    "q_math_funcs",
-    "q_multimodal_cols",
-    "q_pivot",
-    "q_project_derive",
-    "q_sample_hash",
-    "q_sim_pq_adc",
-    "q_sink_append",
-    "q_sink_partitioned",
-    "q_sql_report",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    "q_stream_stream_left",
-    "q_stream_watermark_late",
-    "q_text_tokens",
-    "q_text_vocab",
-    "q_udf_pandas",
-    "q_win_lag_lead",
-    # --- family pin (udaf/udtf) ---
-    "q_udaf_grouped",
+    # --- past staleness bound (last r7) ---
+    "q_scan_project",
+    "q_sessionize_batch",
+    "q_sort_limit",
+    "q_str_funcs",
+    "q_subquery_scalar",
+    # --- at staleness bound (last r8) ---
+    "q_agg_approx_distinct",
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_agg_percentile",
+    "q_agg_share",
+    "q_dedup_editdist",
+    "q_dedup_exact",
+    "q_dedup_substring",
+    "q_embed_pq",
+    "q_event_anomaly",
+    "q_event_rfm",
+    "q_except",
+    "q_filter_null",
+    "q_join_cross",
+    "q_join_semi",
+    "q_json_variant",
+    "q_map_funcs",
+    "q_multimodal_framedup",
+    "q_profile_columns",
+    "q_sample_temperature",
+    "q_sink_foreachbatch",
+    "q_sink_zorder",
+    "q_sort_multikey",
+    "q_source_binaryfile",
+    "q_source_orc",
+    "q_source_xml",
+    "q_split_train_test",
+    "q_sql_join_having",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_stream_kafka_source",
+    "q_stream_sliding",
+    "q_text_langid",
+    "q_text_quality",
+    "q_time_interpolate",
+    "q_time_rollup",
+    "q_topk_per_group",
+    "q_udf_scalar",
+    "q_udtf_python",
+    "q_win_distribution",
+    "q_win_range_frame",
+    "q_win_rank",
+    "q_win_running",
+    # --- family pin (sim) ---
+    "q_sim_ann",
 )
 
 
@@ -191,11 +181,9 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
-    "q_scan_project",
-    "q_sessionize_batch",
-    "q_sort_limit",
-    "q_str_funcs",
-    "q_subquery_scalar",
+    "q_union_all",
+    "q_union_distinct",
+    "q_unpivot",
 )
 
 

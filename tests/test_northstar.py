@@ -205,18 +205,63 @@ def test_langid_one_prediction_per_doc(spark, sf_dir):
 def test_simhash_hamming_bounds(spark, sf_dir):
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
         _HAMMING_MAX,
-        _SIMHASH_BITS,
+        _SIMHASH_BANDS,
+        _SIMHASH_BAND_WIDTH,
         simhash_band_pairs,
         simhash_fingerprints,
     )
 
-    sigs = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}
-    assert all(0 <= v < (1 << _SIMHASH_BITS) for v in sigs.values())
+    def fp(row):
+        # reassemble the 4 × 32-bit band words into one 128-bit int so
+        # the all-pairs reference below is a single xor/popcount
+        v = 0
+        for j in range(_SIMHASH_BANDS):
+            w = row[f"sh{j}"]
+            assert 0 <= w < (1 << _SIMHASH_BAND_WIDTH), (row.doc_id, j, w)
+            v |= w << (j * _SIMHASH_BAND_WIDTH)
+        return v
+
+    sigs = {r.doc_id: fp(r) for r in simhash_fingerprints(spark, sf_dir).collect()}
     # identical text ⇒ identical fingerprint (determinism)
     sigs2 = {
-        r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()
+        r.doc_id: fp(r) for r in simhash_fingerprints(spark, sf_dir).collect()
     }
     assert sigs == sigs2
+    # INDEPENDENT construction check (r11): recompute the sign-sum in
+    # pure Python from the collected token hashes and require bit-exact
+    # equality. The older self-consistency assertions (determinism,
+    # band completeness vs the collected sigs, hamming-0 invariant)
+    # all PASSED while the fingerprint was degenerate — a PySpark
+    # higher-order lambda arity trap bound each bit mask to the array
+    # INDEX, collapsing every fingerprint to all-ones/all-zero (see
+    # dedup.simhash_fingerprints.bit_test). Only a reference built
+    # outside the Column expression catches that class of bug.
+    hashed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ),
+            lambda w: F.xxhash64(w),
+        ).alias("h_lo"),
+        F.transform(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ),
+            lambda w: F.xxhash64(F.lit(1), w),
+        ).alias("h_hi"),
+    )
+    for row in hashed.collect():
+        want_fp = 0
+        for g in range(128):
+            hs = row.h_lo if g < 64 else row.h_hi
+            b = g % 64
+            ones = sum(1 for h in hs if (h >> b) & 1)
+            if ones * 2 > len(hs):
+                want_fp |= 1 << g
+        assert sigs[row.doc_id] == want_fp, row.doc_id
+    # degenerate guard: fingerprints must not collapse to two values
+    assert len(set(sigs.values())) > 2
     # band completeness (the pigeonhole losslessness claim): EVERY pair
     # at hamming ≤ 3 must surface from the banded join — checked against
     # a Python all-pairs scan over the collected fingerprints
