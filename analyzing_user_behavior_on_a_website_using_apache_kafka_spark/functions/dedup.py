@@ -925,13 +925,17 @@ def connected_components(
 # through r6). Band width is THE scale knob of fixed-width banding:
 # chance band collisions between unrelated documents arrive at rate
 # ~bands·n²/2^width, so each added band bit halves the quadratic term.
-# r10 MEASURED the 15-bit saturation once the probe consumer stopped
-# letting Catalyst prune the candidate side: exponent 1.96 at 10→100×
-# (50k docs, 1739 s) — the predicted ~n²/2^15 chance-collision
-# quadrant. 32-bit bands move the wall by 2^17: chance candidates
-# 4·(n²/2)/2^32 stay under ~10k pairs out to ~5 M docs per band space,
+# (Historical correction: the quadratic r10 measured — exponent 1.96,
+# 1739 s at 50k docs — was NOT this saturation; it was the degenerate
+# all-ones/all-zero fingerprints of the lambda-arity bug fixed in r11
+# (see simhash_fingerprints), i.e. one giant band bucket. At 15-bit
+# bands the genuine chance term at 50k docs is only ~150k pairs. The
+# widening still stands on the math: at 100 TB doc counts the 15-bit
+# space really would saturate.) 32-bit bands put chance candidates at
+# 4·(n²/2)/2^32 — under ~10k pairs out to ~5 M docs per band space —
 # and a per-shard corpus partition (prepend a shard column to the band
-# key) covers beyond that. The fingerprint is stored as FOUR bigint
+# key) covers beyond that; r11 probe: sub-linear 0.44/0.43 exponents
+# through 100× and 1000× (500k docs, 9.5 s). The fingerprint is stored as FOUR bigint
 # columns sh0..sh3, one 32-bit band word each — the band key IS the
 # word (no shift/mask at join time) and nothing touches a bigint's
 # sign bit, so no unsigned-shift gymnastics anywhere. Bits 0..63 come
@@ -1073,11 +1077,11 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one identical band — the blocking is *lossless* for the ≤3
     threshold). Exact hamming via summed per-word bit_count(xor)
     verifies candidates. Band-bucketed equi-join, never all-pairs;
-    chance collisions arrive at ~4·(n²/2)/2^32 — the r10 probe
-    measured the old 15-bit bands quadratic (exponent 1.96, 1739 s at
-    50k docs), which the 32-bit widening retires. Completeness is
-    property-tested against a Python all-pairs hamming scan
-    (tests/test_northstar.py).
+    chance collisions arrive at ~4·(n²/2)/2^32 (r11 probe: exponents
+    0.44 / 0.43 through 100× and 1000× sparse replicas — the r10
+    quadratic was the degenerate-fingerprint bug, see the constants
+    note above). Completeness is property-tested against a Python
+    all-pairs hamming scan (tests/test_northstar.py).
 
     The signature table is PERSISTED (landed r7, with q_dedup_simhash
     in the driver window): it feeds 4 band projections × both self-join

@@ -108,6 +108,56 @@ def test_minhash_banding_finds_true_near_dups(spark, sf_dir):
         assert abs(got[p] - true_pairs[p]) < 0.3, (p, true_pairs[p], got[p])
 
 
+def test_minhash_signature_matches_python_reference(spark, sf_dir):
+    """Independent CONSTRUCTION check (r11, simhash-lesson sweep): the
+    banding/recall tests above all start from the signatures the system
+    itself produced, so a systematically wrong signature could pass
+    them (exactly how the degenerate pre-r11 simhash fingerprint
+    survived — see test_simhash_hamming_bounds). Replay the affine
+    permutations + min in pure Python from the collected token hashes
+    (xxhash64 itself has no Python twin, so the hash step is fetched
+    via a minimal Spark expression) and require exact equality. Also
+    guards the no-overflow precondition the permutation relies on:
+    h, a < 2³¹ so h·a+b < 2⁶² never wraps a bigint."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _MERSENNE_P,
+        _minhash_params,
+        _N_HASHES,
+        minhash_signatures,
+    )
+
+    sigs = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(_N_HASHES)]
+        for r in minhash_signatures(spark, sf_dir).collect()
+    }
+    hashed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE_P)),
+        ).alias("h"),
+    )
+    params = _minhash_params()
+    n_checked = 0
+    for row in hashed.collect():
+        assert all(0 <= h < _MERSENNE_P for h in row.h)
+        if not row.h:
+            continue
+        want = [
+            min((h * a + b) % _MERSENNE_P for h in row.h)
+            for (a, b) in params
+        ]
+        assert sigs[row.doc_id] == want, row.doc_id
+        n_checked += 1
+    assert n_checked > 0
+    # degenerate guard: the signature space must not collapse (13
+    # distinct mh_0 values over 5k docs is legitimate for the 31-word
+    # fixture vocabulary; ONE value for every doc is not)
+    assert len({tuple(s) for s in sigs.values()}) > 2
+
+
 def test_near_dup_self_consistency(spark, sf_dir):
     # every near-dup candidate pair must estimate jaccard in [0, 1] and
     # be ordered doc_a < doc_b with no duplicates
