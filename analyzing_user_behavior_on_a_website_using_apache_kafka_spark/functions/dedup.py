@@ -104,26 +104,84 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → array of _N_HASHES minhash values over word tokens.
+    """doc_id → _N_HASHES minhash columns (mh_0..mh_31) over word tokens.
 
-    Built-ins only: tokenize → xxhash64 per token → for each permutation
-    take the min via higher-order `transform`+`array_min`. No Python in
-    the path; signatures are 32×8 bytes per doc.
+    Hybrid JVM/Arrow split, same shape and rationale as
+    simhash_fingerprints: tokenize + xxhash64 + pmod stay JVM
+    expressions (deterministic, shared with the pure-Python test
+    reference), while the 32 affine permutations + mins run in one
+    Arrow-batched pandas_udf (numpy broadcast multiply +
+    minimum.reduceat). The 32 × `transform`+`array_min` expression
+    form this replaced is INTERPRETED by Catalyst — measured 2.1 s
+    steady at sf0.1 (5k docs) vs 0.4 s vectorized (r11). Map-only, no
+    shuffle; null/empty token arrays yield all-NULL signature columns,
+    exactly like `array_min` over an empty array did.
+    Construction is pinned bit-exactly against a pure-Python replay in
+    tests/test_northstar.py::test_minhash_signature_matches_python_reference.
+    No overflow: h, a < 2³¹ so h·a+b < 2⁶² fits int64 on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
     hashed = F.transform(
         toks, lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE_P))
     )
-    sig_cols = []
-    for i, (a, b) in enumerate(_minhash_params()):
-        # min over tokens of (a*h + b) mod p  — one permutation
-        perm = F.transform(
-            hashed,
-            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)),
-        )
-        sig_cols.append(F.array_min(perm).alias(f"mh_{i}"))
-    return d.select("doc_id", *sig_cols)
+    return d.select(
+        "doc_id", _minhash_mins(hashed).alias("s")
+    ).select(
+        "doc_id",
+        *[F.col(f"s.mh_{i}").alias(f"mh_{i}") for i in range(_N_HASHES)],
+    )
+
+
+# module-level + decorator-replaced name for the same two reasons as
+# _simhash_sign_sum: one udf object per process (CacheManager canonical
+# matching) and by-VALUE cloudpickle (a by-reference pickle needs the
+# package importable inside vanilla-session Python workers)
+# permutation coefficients as ndarrays (picklable by VALUE — see the
+# note inside _minhash_mins)
+_MH_A = np.array([a for a, _ in _minhash_params()], dtype=np.int64)
+_MH_B = np.array([b for _, b in _minhash_params()], dtype=np.int64)
+
+
+@F.pandas_udf(
+    StructType(
+        [StructField(f"mh_{i}", LongType()) for i in range(_N_HASHES)]
+    )
+)
+def _minhash_mins(hashed: pd.Series) -> pd.DataFrame:
+    cols = [f"mh_{i}" for i in range(_N_HASHES)]
+    nrows = len(hashed)
+    # _MH_A/_MH_B, not _minhash_params(): a module-level FUNCTION
+    # referenced from the udf body is cloudpickled by reference and
+    # needs the package importable inside the Python workers — the
+    # exact vanilla-session failure the decorator pattern exists to
+    # avoid. ndarray/int globals pickle by value.
+    A, B = _MH_A, _MH_B
+    empty = np.empty(0, dtype=np.int64)
+    arrs = [
+        np.asarray(x, dtype=np.int64) if x is not None else empty
+        for x in hashed
+    ]
+    lens = np.fromiter((len(x) for x in arrs), np.int64, count=nrows)
+    nz = lens > 0
+    out = pd.DataFrame(
+        {c: pd.array([None] * nrows, dtype="Int64") for c in cols}
+    )
+    if not nz.any():
+        return out
+    offs = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    offs_nz = offs[nz]  # compacted: see _simhash_sign_sum's note
+    flat = np.concatenate(arrs)  # (T,), values < 2^31
+    # (T, 32) permuted hashes; h*a+b < 2^62 — no int64 wrap
+    perm = (flat[:, None] * A[None, :] + B[None, :]) % _MERSENNE_P
+    mins = np.minimum.reduceat(perm, offs_nz, axis=0)  # (nz_rows, 32)
+    for i, c in enumerate(cols):
+        col = np.zeros(nrows, dtype=np.int64)
+        col[nz] = mins[:, i]
+        out[c] = pd.array(col, dtype="Int64")
+        out.loc[~nz, c] = None
+    return out
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,12 +194,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only docs sharing a band bucket meet, so the join is an equi hash
     join on (band_id, band_key) that scales linearly with collisions.
 
-    Shuffle discipline: the banded table carries ONLY (band_id,
-    band_key, doc_id) — 24 B per doc per band — through the 8× union
-    and self-join; the 32-element signature arrays (~2 KB/doc) are
-    re-attached to the SURVIVING candidate pairs afterwards via two
-    doc_id equi-joins, the same slim-then-rejoin pattern as
-    prefix_filtered_jaccard_join's verification step.
+    First-collision-band emission (r11, ported from
+    simhash_band_pairs): a pair is emitted only from the lowest band
+    whose keys match — band j survives iff no band j′ < j matched. A
+    true near-dup collides in ~all 8 bands, so the old
+    dropDuplicates consumed ~8× the output (66 M join rows for 8.3 M
+    pairs at sf0.1) in an extra exchange + dedup stage; the guard is
+    a map-side filter instead. Collision is DEFINED by band-key
+    (xxhash64) equality — the same proxy the join itself uses — so
+    the emitted pair set is bit-identical to the dropDuplicates form.
+
+    Shuffle discipline: the banded table carries (band_id, band_key,
+    doc_id) plus the 8 band keys for the first-band guard — ~88 B per
+    doc per band, still far from the 32-element signature arrays
+    (~2 KB/doc), which are re-attached to the SURVIVING candidate
+    pairs afterwards via two doc_id equi-joins, the same
+    slim-then-rejoin pattern as prefix_filtered_jaccard_join's
+    verification step.
     """
     # PERSIST the signature table: it feeds 8 band projections, BOTH
     # sides of the bucket self-join, and the two signature re-attach
@@ -156,17 +225,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     rows_per_band = _N_HASHES // _N_BANDS
+    # one row per doc with all 8 band keys, so each banded row can
+    # carry every key for the first-collision-band guard below
+    keyed = sigs.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                *[
+                    f"mh_{i}"
+                    for i in range(
+                        band * rows_per_band, (band + 1) * rows_per_band
+                    )
+                ]
+            ).alias(f"bk_{band}")
+            for band in range(_N_BANDS)
+        ],
+    )
+    bk_cols = [f"bk_{band}" for band in range(_N_BANDS)]
     bands = []
     for band in range(_N_BANDS):
-        cols = [
-            f"mh_{i}"
-            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
-        ]
         bands.append(
-            sigs.select(
+            keyed.select(
                 "doc_id",
+                *bk_cols,
                 F.lit(band).alias("band_id"),
-                F.xxhash64(*cols).alias("band_key"),
+                F.col(f"bk_{band}").alias("band_key"),
             )
         )
     banded = bands[0]
@@ -174,6 +257,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded = banded.unionByName(b)
     left = banded.alias("a")
     right = banded.alias("b")
+    first_band = None
+    for band in range(_N_BANDS):
+        cond = (F.col("a.band_id") == band)
+        for prev in range(band):
+            cond = cond & (
+                F.col(f"a.bk_{prev}") != F.col(f"b.bk_{prev}")
+            )
+        first_band = cond if first_band is None else (first_band | cond)
     pairs = (
         left.join(
             right,
@@ -181,11 +272,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # rebalance before the per-pair est stage: the band join's
+        # output partitioning is (band_id, band_key), and hot buckets
+        # (giant dup clusters) serialize everything downstream — the
+        # sig re-attach joins broadcast, so no exchange would
+        # intervene. The old dropDuplicates paid an 8×-output exchange
+        # + dedup aggregation for this balance as a side effect; a
+        # plain repartition of the slim 16 B pair rows keeps the
+        # balance at 1×-output cost (measured: est stage 6.2 s →
+        # ~1 s at sf0.1 once balanced).
+        .repartition("doc_a", "doc_b")
     )
     sig = sigs.select(
         "doc_id",

@@ -102,19 +102,26 @@ _PRIORITY: tuple[str, ...] = (
     # (q_scan_project, q_sessionize_batch, q_sort_limit, q_str_funcs,
     # q_subquery_scalar — staleness exactly 3, declared
     # NEXT_WINDOW_LEADS last round: hard leads here per the slip
-    # rule), then 43 of the 46 r8-checked at-bound keys and the sim
-    # family pin.  The proposer flagged 53 mandatory keys for 50
-    # slots; the overflow resolves by slipping THREE at-bound r8 keys
-    # (q_union_all, q_union_distinct, q_unpivot — staleness exactly 3
-    # after r11, legal; all family-covered) which become MANDATORY
-    # r12 leads.  Projected schedule (standing guard:
+    # rule), then 42 of the 46 r8-checked at-bound keys and the sim
+    # family pin.  The proposer flagged 54 mandatory keys for 50
+    # slots; the overflow resolves by slipping FOUR at-bound r8 keys
+    # (q_topk_per_group, q_union_all, q_union_distinct, q_unpivot —
+    # staleness exactly 3 after r11, legal; all family-covered) which
+    # become MANDATORY r12 leads.  Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r12 = the 3 slipped r8 keys + the r9-checked keys;
+    #   r12 = the 4 slipped r8 keys + the r9-checked keys;
     #   r13 = the r10-checked keys; thereafter disjoint steady state.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
     # --- changed this round ---
     "q_dedup_simhash",
+    # late-r11 change: minhash signatures moved to the Arrow-vectorized
+    # permutation-min (2.1 → 0.6 s steady at sf0.1; construction now
+    # pinned bit-exactly against a pure-Python replay) and the band
+    # join to first-collision-band emission + slim rebalance
+    # (13.1 → 7.4 s cold), so q_dedup_near re-verifies per the
+    # changed-key rule; q_topk_per_group slips to r12 to make room
+    "q_dedup_near",
     # --- past staleness bound (last r7) ---
     "q_scan_project",
     "q_sessionize_batch",
@@ -158,7 +165,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_quality",
     "q_time_interpolate",
     "q_time_rollup",
-    "q_topk_per_group",
     "q_udf_scalar",
     "q_udtf_python",
     "q_win_distribution",
@@ -181,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_topk_per_group",
     "q_union_all",
     "q_union_distinct",
     "q_unpivot",
