@@ -286,22 +286,25 @@ def binned_band_self_join(o: DataFrame) -> DataFrame:
             )
         ).alias("bin"),
     )
+    # Count INCLUDING the self-match, then subtract 1 (r11): every
+    # order collides with itself in its own bin at |Δ| = 0 ≤ band, so
+    # each group is guaranteed non-empty and the former
+    # restore-the-zeros LEFT JOIN back to `o` — a third scan plus an
+    # exchange of both 150k-row sides at sf0.1 — disappears entirely.
+    # Self appears exactly once (only the probe's CENTER bin equals
+    # its own build bin). Precondition: the range column is non-null
+    # (TPC-H declares o_totalprice NOT NULL; a null price would bin
+    # to null, drop out of the equi-join, and lose its output row
+    # where the old left join emitted 0).
     twins = (
         probe.join(build, "bin")
         .filter(
-            (F.col("b_key") != F.col("o_orderkey"))
-            & (
-                F.abs(F.col("o_totalprice") - F.col("b_price"))
-                <= _TWIN_BAND
-            )
+            F.abs(F.col("o_totalprice") - F.col("b_price")) <= _TWIN_BAND
         )
         .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_price_twins"))
     )
-    return o.join(twins, "o_orderkey", "left").select(
-        "o_orderkey",
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_price_twins"),
-    )
+    return twins.select("o_orderkey", "n_price_twins")
 
 
 @query(

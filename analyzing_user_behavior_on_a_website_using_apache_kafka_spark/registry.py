@@ -102,14 +102,15 @@ _PRIORITY: tuple[str, ...] = (
     # (q_scan_project, q_sessionize_batch, q_sort_limit, q_str_funcs,
     # q_subquery_scalar — staleness exactly 3, declared
     # NEXT_WINDOW_LEADS last round: hard leads here per the slip
-    # rule), then 42 of the 46 r8-checked at-bound keys and the sim
-    # family pin.  The proposer flagged 54 mandatory keys for 50
-    # slots; the overflow resolves by slipping FOUR at-bound r8 keys
-    # (q_topk_per_group, q_union_all, q_union_distinct, q_unpivot —
-    # staleness exactly 3 after r11, legal; all family-covered) which
-    # become MANDATORY r12 leads.  Projected schedule (standing guard:
+    # rule), then 41 of the 46 r8-checked at-bound keys and the sim
+    # family pin.  The proposer flagged 55 mandatory keys for 50
+    # slots; the overflow resolves by slipping FIVE at-bound r8 keys
+    # (q_time_rollup, q_topk_per_group, q_union_all, q_union_distinct,
+    # q_unpivot — staleness exactly 3 after r11, legal; all
+    # family-covered) which become MANDATORY r12 leads.  Projected
+    # schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r12 = the 4 slipped r8 keys + the r9-checked keys;
+    #   r12 = the 5 slipped r8 keys + the r9-checked keys;
     #   r13 = the r10-checked keys; thereafter disjoint steady state.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
@@ -122,6 +123,11 @@ _PRIORITY: tuple[str, ...] = (
     # (13.1 → 7.4 s cold), so q_dedup_near re-verifies per the
     # changed-key rule; q_topk_per_group slips to r12 to make room
     "q_dedup_near",
+    # late-r11 change: the binned range join counts the guaranteed
+    # self-match and subtracts 1, dropping the restore-zeros left
+    # join (third scan + exchange; 4.5 → 2.1 s steady at sf0.1), so
+    # it re-verifies too; q_time_rollup slips to r12 to make room
+    "q_join_range_binned",
     # --- past staleness bound (last r7) ---
     "q_scan_project",
     "q_sessionize_batch",
@@ -164,7 +170,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_langid",
     "q_text_quality",
     "q_time_interpolate",
-    "q_time_rollup",
     "q_udf_scalar",
     "q_udtf_python",
     "q_win_distribution",
@@ -187,6 +192,7 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_time_rollup",
     "q_topk_per_group",
     "q_union_all",
     "q_union_distinct",
