@@ -258,7 +258,11 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle-partitioned, no broadcast, no nested loop), then the exact
     band predicate re-checks. Probe replication = ⌈band/bin⌉ + 2 rows —
     the knob trading shuffle volume against bin selectivity at 100 TB.
-    Zero-twin orders are restored by a left join of the counts.
+    Zero-twin orders need no restoring join: every order collides with
+    ITSELF in its center bin (|Δ| = 0 ≤ band), so each group is
+    non-empty by construction and the count just subtracts that one
+    guaranteed self-match (r11 — dropped the former restore-the-zeros
+    LEFT JOIN, one less orders scan and exchange).
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -269,7 +273,18 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def binned_band_self_join(o: DataFrame) -> DataFrame:
     """Core binned band self-join over any (o_orderkey, o_totalprice)
     DataFrame — separated from the fixture loader so property tests can
-    drive it with adversarial values (exact-boundary deltas included)."""
+    drive it with adversarial values (exact-boundary deltas and NULL
+    prices included).
+
+    NULL range values get the SQL band-join semantics explicitly: a
+    null price satisfies no band predicate in either direction, so the
+    row emits n_price_twins = 0 and never counts as anyone's twin. The
+    guaranteed-self-match trick only covers non-null rows (a null bins
+    to null and falls out of the equi-join), so the zero rows come from
+    a cheap unioned `IsNull` scan — pushed to parquet, where row-group
+    null-count stats skip it entirely on NOT NULL data like TPC-H
+    orders — NOT from the old restore-zeros left join (a full second
+    exchange)."""
     build = o.select(
         F.col("o_orderkey").alias("b_key"),
         F.col("o_totalprice").alias("b_price"),
@@ -292,10 +307,9 @@ def binned_band_self_join(o: DataFrame) -> DataFrame:
     # restore-the-zeros LEFT JOIN back to `o` — a third scan plus an
     # exchange of both 150k-row sides at sf0.1 — disappears entirely.
     # Self appears exactly once (only the probe's CENTER bin equals
-    # its own build bin). Precondition: the range column is non-null
-    # (TPC-H declares o_totalprice NOT NULL; a null price would bin
-    # to null, drop out of the equi-join, and lose its output row
-    # where the old left join emitted 0).
+    # its own build bin). Non-null rows only: a null price bins to
+    # null and drops out of the equi-join — its zero row is unioned
+    # back below instead.
     twins = (
         probe.join(build, "bin")
         .filter(
@@ -304,7 +318,12 @@ def binned_band_self_join(o: DataFrame) -> DataFrame:
         .groupBy("o_orderkey")
         .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_price_twins"))
     )
-    return twins.select("o_orderkey", "n_price_twins")
+    null_rows = o.filter(F.col("o_totalprice").isNull()).select(
+        "o_orderkey", F.lit(0).cast("bigint").alias("n_price_twins")
+    )
+    return twins.select("o_orderkey", "n_price_twins").unionByName(
+        null_rows
+    )
 
 
 @query(

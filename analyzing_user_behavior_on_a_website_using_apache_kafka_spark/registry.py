@@ -89,101 +89,99 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-11 window, from `python tools/propose_window.py --changed
-    # q_dedup_simhash`.  One changed key leads: q_dedup_simhash's
-    # served plan changed twice this round — the fingerprint widened
-    # 60→128 bits (4×32-bit band words sh0..sh3, Arrow-vectorized
-    # sign-sum) after r11 diagnosis showed the pre-r11 fingerprints
-    # were DEGENERATE (higher-order lambda arity trap bound each bit
-    # mask to the array index; all-ones/all-zero fingerprints were the
-    # true cause of the r10 probe quadratic), and the band join now
-    # emits each pair from its first colliding band (no dedup
-    # shuffle).  Then the five r7-checked keys the r10 window slipped
-    # (q_scan_project, q_sessionize_batch, q_sort_limit, q_str_funcs,
-    # q_subquery_scalar — staleness exactly 3, declared
+    # Round-12 window, from `python tools/propose_window.py --changed
+    # q_stream_session,...,q_join_range_binned` (12 changed keys).
+    # Changed keys lead: ALL ELEVEN streaming keys' served plans
+    # changed this round because the shared verification harness moved
+    # off the memory sink — run_to_memory (format("memory"), which
+    # collects every result row into the driver's heap; complete mode
+    # held the entire aggregate table there, the O(output) driver
+    # materialization flagged weak for q_stream_session two rounds
+    # running, SCALE.md exponent 1.06) was replaced by run_stream, a
+    # foreachBatch→parquet sink whose per-batch writes run with the
+    # executors' parallelism and whose read-back is a distributed
+    # parquet scan (sources/file_stream.py).  q_join_range_binned also
+    # re-verifies: binned_band_self_join now gives NULL range values
+    # the explicit SQL semantics (zero-twin row via a pushed-IsNull
+    # union scan) instead of a comment-only non-null precondition
+    # (ADVICE r11).  Then the five r8-checked keys the r11 window
+    # slipped (q_time_rollup, q_topk_per_group, q_union_all,
+    # q_union_distinct, q_unpivot — staleness exactly 3, declared
     # NEXT_WINDOW_LEADS last round: hard leads here per the slip
-    # rule), then 41 of the 46 r8-checked at-bound keys and the sim
-    # family pin.  The proposer flagged 55 mandatory keys for 50
-    # slots; the overflow resolves by slipping FIVE at-bound r8 keys
-    # (q_time_rollup, q_topk_per_group, q_union_all, q_union_distinct,
-    # q_unpivot — staleness exactly 3 after r11, legal; all
-    # family-covered) which become MANDATORY r12 leads.  Projected
-    # schedule (standing guard:
+    # rule), then 33 of the 41 r9-checked at-bound keys.  The proposer
+    # flagged 58 mandatory keys for 50 slots; the overflow resolves by
+    # slipping EIGHT at-bound r9 keys (NEXT_WINDOW_LEADS below —
+    # staleness exactly 3 after r12, legal; all family-covered) which
+    # become MANDATORY r13 leads.  Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r12 = the 5 slipped r8 keys + the r9-checked keys;
-    #   r13 = the r10-checked keys; thereafter disjoint steady state.
+    #   r13 = the 8 slipped r9 keys + 45 r10-checked keys (the four
+    #         r10-checked stream keys re-verify HERE, freeing exactly
+    #         the slots the slips need minus 3);
+    #   r14 = r13's ~3 slips + the r11-checked keys not re-checked
+    #         here (50 − q_stream_kafka_source, q_stream_sliding,
+    #         q_join_range_binned) = 50; disjoint steady state after.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
-    # --- changed this round ---
-    "q_dedup_simhash",
-    # late-r11 change: minhash signatures moved to the Arrow-vectorized
-    # permutation-min (2.1 → 0.6 s steady at sf0.1; construction now
-    # pinned bit-exactly against a pure-Python replay) and the band
-    # join to first-collision-band emission + slim rebalance
-    # (13.1 → 7.4 s cold), so q_dedup_near re-verifies per the
-    # changed-key rule; q_topk_per_group slips to r12 to make room
-    "q_dedup_near",
-    # late-r11 change: the binned range join counts the guaranteed
-    # self-match and subtracts 1, dropping the restore-zeros left
-    # join (third scan + exchange; 4.5 → 2.1 s steady at sf0.1), so
-    # it re-verifies too; q_time_rollup slips to r12 to make room
-    "q_join_range_binned",
-    # --- past staleness bound (last r7) ---
-    "q_scan_project",
-    "q_sessionize_batch",
-    "q_sort_limit",
-    "q_str_funcs",
-    "q_subquery_scalar",
-    # --- at staleness bound (last r8) ---
-    "q_agg_approx_distinct",
-    "q_agg_distinct",
-    "q_agg_filtered",
-    "q_agg_percentile",
-    "q_agg_share",
-    "q_dedup_editdist",
-    "q_dedup_exact",
-    "q_dedup_substring",
-    "q_embed_pq",
-    "q_event_anomaly",
-    "q_event_rfm",
-    "q_except",
-    "q_filter_null",
-    "q_join_cross",
-    "q_join_semi",
-    "q_json_variant",
-    "q_map_funcs",
-    "q_multimodal_framedup",
-    "q_profile_columns",
-    "q_sample_temperature",
-    "q_sink_foreachbatch",
-    "q_sink_zorder",
-    "q_sort_multikey",
-    "q_source_binaryfile",
-    "q_source_orc",
-    "q_source_xml",
-    "q_split_train_test",
-    "q_sql_join_having",
-    "q_sql_lateral",
-    "q_sql_recursive",
+    # --- changed this round (streaming harness: memory sink -> foreachBatch parquet) ---
+    "q_stream_session",
+    "q_stream_complete_agg",
+    "q_stream_custom_state",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_stream_stream_left",
+    "q_stream_watermark_late",
     "q_stream_kafka_source",
     "q_stream_sliding",
-    "q_text_langid",
-    "q_text_quality",
-    "q_time_interpolate",
-    "q_udf_scalar",
-    "q_udtf_python",
-    "q_win_distribution",
-    "q_win_range_frame",
-    "q_win_rank",
-    "q_win_running",
-    # --- family pin (sim) ---
-    "q_sim_ann",
+    # --- changed this round (explicit NULL-range contract) ---
+    "q_join_range_binned",
+    # --- past staleness bound (last r8) ---
+    "q_time_rollup",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_union_distinct",
+    "q_unpivot",
+    # --- at staleness bound (last r9) ---
+    "q_agg_approx_quantile",
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_sketch_merge",
+    "q_agg_stats",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_join_dpp",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_sample_mixture",
+    "q_sim_ivf",
+    "q_sim_timeseries",
+    "q_sim_topk_bruteforce",
+    "q_sink_bucketed",
+    "q_sink_upsert",
+    "q_source_evolving_schema",
+    "q_sql_window",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langstats",
+    "q_text_ngram_counts",
+    "q_text_normalize",
+    "q_text_pii_scrub",
+    "q_text_repetition",
+    "q_udf_cogroup",
+    "q_udtf_explode",
+    "q_win_first_last",
 )
 
 
 # At-bound keys the window above could NOT fit (the proposer's rule-6
 # slips): they sit at staleness exactly 3 right now and MUST lead the
-# r11 rotation.  tools/rotation_check.py grants keys listed here a
+# r13 rotation.  tools/rotation_check.py grants keys listed here a
 # one-round allowance (staleness == bound+1, never more), which
 # self-expires: if the next rotation fails to happen and another
 # round's results land, staleness hits bound+2 and the check goes red
@@ -192,11 +190,14 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
-    "q_time_rollup",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_union_distinct",
-    "q_unpivot",
+    "q_cohort_retention",
+    "q_embed_normquant",
+    "q_event_attribution",
+    "q_event_transitions",
+    "q_text_rollhash",
+    "q_text_tfidf",
+    "q_text_token_bpe",
+    "q_text_unigram_logprob",
 )
 
 

@@ -65,18 +65,37 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def run_to_memory(
+def run_stream(
     stream_df: DataFrame,
     output_mode: str,
     timeout_sec: float = 300,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
-    into an in-memory sink; return the sink contents as a batch DataFrame.
+    through a foreachBatch→parquet sink; return the sink directory read
+    back as a (distributed) batch DataFrame.
+
+    This replaced the r3–r11 memory-sink harness: the memory sink
+    collects EVERY result row into the driver's heap (complete mode
+    holds the entire aggregate table there), so a query whose output
+    scales with the data — q_stream_session's O(users × sessions) rows,
+    q_stream_kafka_source's O(events) — turned the verification path
+    into the exact driver-side materialization the engine bans
+    elsewhere (SCALE.md measured q_stream_session at exponent 1.06,
+    output-linear on the driver). foreachBatch instead hands each
+    micro-batch over as a batch DataFrame whose parquet write runs with
+    the executors' parallelism; the driver only coordinates, and the
+    returned frame is a parquet scan that stays distributed through
+    whatever comparison follows. Mode mapping inside the writer:
+    complete overwrites the directory each trigger (last batch leaves
+    the full result — the memory sink's truncate-and-refill, minus the
+    driver heap), append/update append their per-batch emissions
+    (byte-for-byte the rows the memory sink would have appended).
 
     AvailableNow = process everything present, then stop — the batch-like
     trigger that still exercises the incremental/stateful machinery. The
-    production analog swaps the memory sink for kafka/parquet/foreachBatch
-    and AvailableNow for a processing-time trigger.
+    production analog swaps AvailableNow for a processing-time trigger
+    and points the same foreachBatch writer (or a native kafka/parquet
+    sink) at durable storage.
 
     State lives in RocksDB (bundled with Spark ≥3.2): state size is
     bounded by disk, not executor heap — the only viable provider when
@@ -90,13 +109,20 @@ def run_to_memory(
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def one_run():
-        name = f"mem_{uuid.uuid4().hex[:12]}"
+        name = f"sink_{uuid.uuid4().hex[:12]}"
         checkpoint = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
+        out_dir = os.path.join(
+            tempfile.gettempdir(), "aub_streamsink", name
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode(write_mode).parquet(out_dir)
+
         q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
+            stream_df.writeStream.foreachBatch(write_batch)
             .outputMode(output_mode)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
@@ -111,23 +137,31 @@ def run_to_memory(
             raise q.exception()
         if not finished:
             # awaitTermination TIMED OUT: the query was stopped
-            # mid-processing and the memory sink holds PARTIAL results.
-            # Returning them would surface as a silent row-count/value
-            # mismatch in the oracle gate (observed once: a loaded-rig
-            # sweep failed q_stream_stream_left this way at the old
-            # 120 s budget) — refuse loudly instead.
+            # mid-processing and the sink directory holds PARTIAL
+            # results. Returning them would surface as a silent
+            # row-count/value mismatch in the oracle gate (observed
+            # once: a loaded-rig sweep failed q_stream_stream_left this
+            # way at the old 120 s budget) — refuse loudly instead.
             raise TimeoutError(
                 f"streaming query still running after {timeout_sec}s — "
                 "refusing to return partial sink contents"
             )
-        return stream_df.sparkSession.table(name)
+        if not any(
+            f.endswith(".parquet")
+            for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        ):
+            # zero micro-batches ran (empty source): no files to scan —
+            # an empty frame with the stream's schema is the sink state
+            return spark.createDataFrame([], stream_df.schema)
+        return spark.read.parquet(out_dir)
 
-    # One retry with a fresh checkpoint, scoped to the KNOWN transient:
-    # RocksDB snapshot/changelog uploads abort sporadically under heavy
-    # rig load (observed once in ~10² runs). Anything else — plan errors,
-    # state-schema mismatches, real nondeterministic bugs — re-raises
-    # immediately so the verification harness never masks it, and the
-    # retry is logged loudly so a "green after retry" run is visible.
+    # One retry with fresh checkpoint + sink dir, scoped to the KNOWN
+    # transient: RocksDB snapshot/changelog uploads abort sporadically
+    # under heavy rig load (observed once in ~10² runs). Anything else —
+    # plan errors, state-schema mismatches, real nondeterministic bugs —
+    # re-raises immediately so the verification harness never masks it,
+    # and the retry is logged loudly so a "green after retry" run is
+    # visible.
     try:
         return one_run()
     except Exception as exc:
@@ -145,7 +179,7 @@ def run_to_memory(
         if not transient:
             raise
         print(
-            "run_to_memory: retrying once after transient state-store "
+            "run_stream: retrying once after transient state-store "
             f"failure: {msg.splitlines()[0][:200]}",
             file=sys.stderr,
         )

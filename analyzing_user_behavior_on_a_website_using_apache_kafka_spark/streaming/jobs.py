@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ..sources.file_stream import run_to_memory, stream_table
+from ..sources.file_stream import run_stream, stream_table
 
 
 @query(
@@ -42,7 +42,7 @@ def q_stream_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    return run_to_memory(ev, "append")
+    return run_stream(ev, "append")
 
 
 @query(
@@ -65,7 +65,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    out = run_to_memory(agg, "complete")
+    out = run_stream(agg, "complete")
     return out.select(
         F.col("w.start").alias("window_start"), "event_type", "cnt"
     )
@@ -93,7 +93,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    out = run_to_memory(agg, "complete")
+    out = run_stream(agg, "complete")
     return out.select(
         F.col("w.start").alias("window_start"), "event_type", "cnt"
     )
@@ -135,7 +135,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    out = run_to_memory(agg, "complete")
+    out = run_stream(agg, "complete")
     return out.select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -173,7 +173,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    out = run_to_memory(agg, "append")
+    out = run_stream(agg, "append")
     return out.select(F.col("w.start").alias("window_start"), "cnt")
 
 
@@ -206,7 +206,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
-    return run_to_memory(deduped, "append")
+    return run_stream(deduped, "append")
 
 
 @query(
@@ -225,7 +225,7 @@ def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(new) instead of O(everything) per cycle."""
     ev = stream_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    return run_to_memory(agg, "complete")
+    return run_stream(agg, "complete")
 
 
 @query(
@@ -279,7 +279,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + interval 30 minutes"
         ),
     )
-    return run_to_memory(joined.select("click_id", "purchase_id"), "append")
+    return run_stream(joined.select("click_id", "purchase_id"), "append")
 
 
 @query(
@@ -351,7 +351,7 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    return run_to_memory(joined.select("click_id", "purchase_id"), "append")
+    return run_stream(joined.select("click_id", "purchase_id"), "append")
 
 
 @query(
@@ -386,7 +386,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return run_to_memory(agg, "complete")
+    return run_stream(agg, "complete")
 
 
 def type_count_upsert(final: str):
@@ -474,7 +474,7 @@ def q_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q.exception() is not None:
         raise q.exception()
     if not finished:
-        # same contract as run_to_memory: a timed-out run means the
+        # same contract as run_stream: a timed-out run means the
         # sink table holds PARTIAL totals — refuse, never return them
         raise TimeoutError(
             "foreachBatch sink still running after 300s — refusing to "

@@ -26,7 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
 from ..serialization import pickle_module_by_value
-from ..sources.file_stream import run_to_memory, stream_table
+from ..sources.file_stream import run_stream, stream_table
 
 # _update_profile ships to executor Python workers; by-value pickling
 # makes it importable-path-independent (the driver harness may run from
@@ -101,4 +101,4 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(profiles, "update")
+    return run_stream(profiles, "update")

@@ -88,7 +88,7 @@ def test_stream_table_ts_is_watermarkable(spark, tmp_path, shape):
     sdf = file_stream.stream_table(spark, sf_dir, "events")
     assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
     wm = sdf.withWatermark("ts", "10 minutes")  # raises AnalysisException if NTZ
-    out = file_stream.run_to_memory(
+    out = file_stream.run_stream(
         wm.groupBy("event_type").count(), output_mode="complete"
     )
     rows = out.collect()

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
-    run_to_memory,
+    run_stream,
     stream_table,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming import (
@@ -22,7 +22,7 @@ def test_listener_captures_batch_metrics(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        run_to_memory(agg, "complete")
+        run_stream(agg, "complete")
         # listener events are delivered asynchronously; wait bounded
         import time
 

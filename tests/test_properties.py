@@ -172,8 +172,14 @@ def test_prefix_filter_lossless_at_any_threshold(pb_spark, docs, threshold):
 
 
 prices_strategy = st.lists(
-    # multiples of 50 land deltas exactly ON the ±100 boundary
-    st.integers(0, 10).map(lambda k: k * 50.0),
+    # multiples of 50 land deltas exactly ON the ±100 boundary; None
+    # exercises the helper's explicit NULL-range contract (emit 0
+    # twins, never count as anyone's twin) — r12, after the r11
+    # self-count rewrite narrowed it to a comment-only precondition
+    st.one_of(
+        st.none(),
+        st.integers(0, 10).map(lambda k: k * 50.0),
+    ),
     min_size=1,
     max_size=12,
 )
@@ -201,10 +207,14 @@ def test_binned_range_join_matches_bruteforce(pb_spark, prices):
         for r in binned_band_self_join(df).collect()
     }
     for i, p in enumerate(prices):
-        want = sum(
-            1
-            for k, q in enumerate(prices)
-            if k != i and abs(p - q) <= _TWIN_BAND
+        want = (
+            0
+            if p is None
+            else sum(
+                1
+                for k, q in enumerate(prices)
+                if k != i and q is not None and abs(p - q) <= _TWIN_BAND
+            )
         )
         assert got[i] == want, (i, p)
 

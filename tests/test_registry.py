@@ -571,3 +571,54 @@ def test_locked_replica_serializes_stale_rebuilds(tmp_path):
         assert f.read() == "payload"
     with open(os.path.join(outs[0], "SOURCE")) as f:
         assert f.read() == "fp-v2"
+
+
+def _regen_matches_head(tool: str, doc: str) -> None:
+    """Run a doc generator in a subprocess and assert the tracked file is
+    byte-identical afterwards — the drift guard r10 asked for (r11's
+    final commit moved two joins.py functions 3 lines after the doc
+    refresh, and COVERAGE.md cited stale lines for a whole round).
+    Side-effect-free: the pre-test bytes are restored on mismatch so a
+    red test never leaves the working tree dirty."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, doc)
+    with open(path, "rb") as fh:
+        before = fh.read()
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", tool)],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        with open(path, "rb") as fh:
+            after = fh.read()
+    finally:
+        with open(path, "wb") as fh:
+            fh.write(before)
+    assert after == before, (
+        f"{doc} is stale — `python tools/{tool}` produces different "
+        "content than HEAD; regenerate and commit it with the change "
+        "that moved it"
+    )
+
+
+def test_coverage_md_is_fresh():
+    _regen_matches_head("gen_coverage.py", "COVERAGE.md")
+
+
+def test_plans_md_is_fresh():
+    """Heavier (builds all 29 headline/extended plans at sf0.1 in a
+    fresh session, ~2-3 min) but byte-deterministic: gen_plans runs the
+    same query sequence in a fresh session, so expression ids allocate
+    identically (verified by back-to-back runs before this test
+    landed)."""
+    _regen_matches_head("gen_plans.py", "PLANS.md")

@@ -294,9 +294,9 @@ def test_foreachbatch_upsert_accumulates_across_batches(
     assert got == want
 
 
-def test_run_to_memory_refuses_partial_results(spark, sf_dir):
+def test_run_stream_refuses_partial_results(spark, sf_dir):
     """awaitTermination timing out must RAISE, not hand back a
-    partially-filled memory sink (the silent-mismatch flake class: a
+    partially-filled sink directory (the silent-mismatch flake class: a
     loaded rig once failed q_stream_stream_left's oracle row this way).
     A 1 ms budget expires before the first micro-batch can possibly
     commit (state-store startup alone is seconds), so the run times out
@@ -306,7 +306,7 @@ def test_run_to_memory_refuses_partial_results(spark, sf_dir):
     import pytest
 
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
-        run_to_memory,
+        run_stream,
         stream_table,
     )
     from pyspark.sql import functions as F
@@ -316,7 +316,7 @@ def test_run_to_memory_refuses_partial_results(spark, sf_dir):
         F.window("ts", "10 minutes"), "event_type"
     ).count()
     with pytest.raises(TimeoutError, match="partial sink contents"):
-        run_to_memory(agg, "append", timeout_sec=0.001)
+        run_stream(agg, "append", timeout_sec=0.001)
 
 
 def test_stream_stream_left_multibatch_matches_oneshot(

@@ -93,7 +93,7 @@ PROBES = {
     # O(windows) (time-bounded — should be ~flat), session-window state
     # and output are O(users) (grows with the replica factor)
     "q_stream_tumbling": "availableNow tumbling agg; state O(windows)",
-    "q_stream_session": "session windows; O(users) output via complete-mode memory sink (driver-side — see SCALE.md r7 attribution)",
+    "q_stream_session": "session windows; O(users) output via complete-mode foreachBatch parquet sink (distributed since r12; the r7-r11 memory-sink harness was driver-side)",
     # r8: the curation capstone (quality gate → exact dedup → split in
     # one plan). Exact-copy replicas are FINE here: the md5 groupBy
     # collapses every K-way copy group to one row, so output stays
