@@ -1116,3 +1116,100 @@ def test_sim_timeseries_topk_shape_and_bounds(spark, sf_dir):
     got1 = next(r for r in per_probe[probe] if r.rnk == 1)
     assert got1.cand_user == -best[1]
     assert abs(got1.cosine_sim - round(best[0], 6)) < 1e-9
+
+
+def test_rollhash_fingerprint_matches_python_reference(spark, sf_dir):
+    """Independent CONSTRUCTION replay for the winnowing sketch (r11
+    task 4 audit): q_text_rollhash's DuckDB oracle recomputes the
+    shingle→md5→min pipeline from raw text, but BOTH engines implement
+    "md5 of the space-joined 5-token window, lexicographic min" — a
+    shared-convention bug (wrong window bounds mirrored in the SQL, a
+    joint misunderstanding of slice semantics) would pass it. This
+    replay is a THIRD implementation: hashlib.md5 over plain Python
+    string slicing, no Spark, no DuckDB — exact equality required on
+    every document."""
+    import hashlib
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.text import (
+        _SHINGLE_W,
+        q_text_rollhash,
+    )
+
+    got = {
+        r.doc_id: (r.n_shingles, r.min_shingle_fp)
+        for r in q_text_rollhash(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n_checked = 0
+    for d in docs:
+        words = d.text.split(" ")  # split(' ') keeps empty tokens,
+        # matching F.split(text, ' ') / DuckDB string_split exactly
+        n = len(words) - _SHINGLE_W + 1
+        if n < 1:
+            assert d.doc_id not in got
+            continue
+        fps = [
+            hashlib.md5(
+                " ".join(words[i : i + _SHINGLE_W]).encode("utf-8")
+            ).hexdigest()
+            for i in range(n)
+        ]
+        assert got[d.doc_id] == (n, min(fps)), d.doc_id
+        n_checked += 1
+    assert n_checked > 0
+    # degeneracy guard (the r11 simhash lesson): the fingerprint space
+    # must not collapse to a constant across the corpus
+    assert len({fp for _, fp in got.values()}) > 2
+
+
+def test_pq_codes_match_python_reference(spark, sf_dir):
+    """Independent CONSTRUCTION replay for the PQ sub-codebook argmin
+    (r11 task 4 audit): the q_embed_pq/q_sim_pq_adc oracles recompute
+    sample→slice→distance→argmin in DuckDB, and the tie-margin test
+    bounds cross-engine float error — but the md5-ranked codebook
+    sample there is still fetched FROM DuckDB. This replay rebuilds
+    the whole construction third-hand: hashlib.md5 ranks the sample,
+    numpy slices and argmins, ties break (d2, k) — per-(vec, subspace)
+    code equality and mse agreement required."""
+    import hashlib
+
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _PQ_KS,
+        _PQ_M,
+        _PQ_SUB,
+        pq_codes,
+    )
+
+    got = {
+        (r.vec_id, r.m): (r.b.k, r.b.d2)
+        for r in pq_codes(spark, sf_dir).collect()
+    }
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [vid for vid, _ in rows]
+    x = np.array([emb for _, emb in rows], dtype=np.float64)
+    sample = sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:_PQ_KS]
+    pos = {vid: i for i, vid in enumerate(ids)}
+    cent = x[[pos[v] for v in sample]]
+    n_checked = 0
+    for m in range(_PQ_M):
+        sl = slice(m * _PQ_SUB, (m + 1) * _PQ_SUB)
+        d2 = ((x[:, None, sl] - cent[None, :, sl]) ** 2).sum(axis=2)
+        for i, vid in enumerate(ids):
+            # lexicographic (d2, k) argmin — the struct-min tie-break
+            want_k = min(zip(d2[i], sample))[1]
+            k_got, d2_got = got[(vid, m)]
+            assert k_got == want_k, (vid, m)
+            assert abs(d2_got - d2[i][sample.index(want_k)]) < 1e-9
+            n_checked += 1
+    assert n_checked == len(ids) * _PQ_M
