@@ -38,15 +38,124 @@ FEATURE_SCHEMA = (
 
 
 def decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """REAL decoder stub — the production `mapInPandas` entry point.
-
-    Would decode image/audio bytes (PIL/librosa/av) into feature rows.
-    The libraries are not available in this environment by design.
+    """Codec-format decoder stub — the production `mapInPandas` entry
+    point for compressed media (JPEG/MP3/H.264), which requires
+    PIL/librosa/av; those libraries are not available in this
+    environment by design. Container formats the standard library CAN
+    parse (uncompressed BMP, PCM WAV) decode for REAL through
+    `decode_media_stdlib` below — the env boundary is the codecs, not
+    the decode path.
     """
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; use fake_decode_features for the plumbing-path tests"
+        "compressed-media decode requires image/audio libraries not "
+        "present in this container; decode_media_stdlib handles BMP/WAV "
+        "for real, fake_decode_features drives the plumbing-path tests"
     )
+
+
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id bigint, mime string, "
+    # image features (audio rows carry NULLs here)
+    "width int, height int, mean_lum double, "
+    # audio features (image rows carry NULLs here)
+    "n_samples bigint, sample_rate int, n_channels int, rms double"
+)
+
+
+def _decode_bmp(b: bytes) -> dict:
+    """REAL image decode, stdlib-only: 24bpp uncompressed (BI_RGB)
+    Windows BMP. Rows are stored bottom-up, padded to 4-byte
+    boundaries; pixels are BGR. Features: dimensions + mean luminance
+    (ITU-R BT.601: 0.299 R + 0.587 G + 0.114 B)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24bpp uncompressed BMP decodes stdlib-side "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=abs(height) * stride, offset=data_off
+    ).reshape(abs(height), stride)[:, : width * 3]
+    px = rows.reshape(abs(height), width, 3).astype(np.float64)
+    if height > 0:  # bottom-up storage (the common case)
+        px = px[::-1]
+    lum = 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
+    return {
+        "width": width,
+        "height": abs(height),
+        "mean_lum": float(lum.mean()),
+    }
+
+
+def _decode_wav(b: bytes) -> dict:
+    """REAL audio decode, stdlib-only: PCM WAV via the `wave` module.
+    16-bit signed samples; RMS normalized to full scale (a sine of
+    amplitude A decodes to rms ≈ A/√2)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV decodes stdlib-side "
+                f"(got sampwidth={w.getsampwidth()})"
+            )
+        frames = w.readframes(w.getnframes())
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        scaled = pcm / 32768.0
+        return {
+            "n_samples": w.getnframes(),
+            "sample_rate": w.getframerate(),
+            "n_channels": w.getnchannels(),
+            "rms": float(np.sqrt(np.mean(scaled**2))),
+        }
+
+
+def decode_media_stdlib(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL media decode over the production mapInPandas shape for the
+    formats the standard library covers: `image/bmp` (24bpp BI_RGB) and
+    `audio/wav` (16-bit PCM). Any other mime raises — compressed
+    codecs genuinely need the external libraries `decode_media`
+    documents, and a silent fallback here would disguise that boundary
+    as a decoded row."""
+    cols = [
+        "width", "height", "mean_lum",
+        "n_samples", "sample_rate", "n_channels", "rms",
+    ]
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "mime": []} | {
+            c: [] for c in cols
+        }
+        for doc_id, mime, payload in zip(
+            pdf["doc_id"], pdf["mime"], pdf["payload"]
+        ):
+            if mime == "image/bmp":
+                feats = _decode_bmp(payload)
+            elif mime == "audio/wav":
+                feats = _decode_wav(payload)
+            else:
+                raise NotImplementedError(
+                    f"no stdlib decoder for {mime!r}; compressed media "
+                    "goes through decode_media (external codecs)"
+                )
+            out["doc_id"].append(doc_id)
+            out["mime"].append(mime)
+            for c in cols:
+                out[c].append(feats.get(c))
+        yield pd.DataFrame(out)
 
 
 def fake_decode_features(
