@@ -401,3 +401,111 @@ def test_stream_stream_left_multibatch_matches_oneshot(
         for r in jobs.q_stream_stream_left(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_run_stream_complete_multibatch_overwrites_to_final(
+    spark, sf_dir, split_log
+):
+    """The r12 harness (run_stream: foreachBatch → parquet) maps
+    complete mode to one OVERWRITE per trigger — the memory sink's
+    truncate-and-refill without the driver heap. Single-file fixtures
+    exercise only one micro-batch, where overwrite and append are
+    indistinguishable; here four batches run, and a broken mapping
+    (append in complete mode) would leave every intermediate
+    aggregate-table snapshot in the sink — duplicate keys with partial
+    counts. The final read-back must hold exactly the one final table,
+    equal to the all-at-once batch answer."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
+        run_stream,
+    )
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_log)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = run_stream(agg, "complete").collect()
+    # exactly one row per key — no stale per-batch snapshots survive
+    assert len(rows) == len({r.event_type for r in rows})
+    got = {(r.event_type, r.cnt) for r in rows}
+    want = {
+        (r.event_type, r.cnt)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_run_stream_append_multibatch_accumulates(
+    spark, sf_dir, tmp_path_factory
+):
+    """Append mode under a multi-batch feed: per-trigger sink APPENDS
+    must accumulate to the batch answer once the stream ends. Catches
+    the inverse mapping bug — overwrite in append mode would keep only
+    the final trigger's emissions, losing every window the advancing
+    watermark closed in earlier batches. The split is TIME-ordered
+    (ntile over ts) — a user-id split would feed each batch the whole
+    time range and the watermark would drop batches 2+ as late data
+    (same trap documented at the stream-stream left join test)."""
+    from pyspark.sql import Window as W
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
+        run_stream,
+    )
+
+    d = str(tmp_path_factory.mktemp("ts_split_append"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    part = ev.withColumn(
+        "slice", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    for i in (1, 2, 3):
+        part.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {
+        (r.window.start, r.event_type, r.cnt)
+        for r in run_stream(agg, "append").collect()
+    }
+    # append emits a window only once the watermark passes its END —
+    # the final day stays open forever (AvailableNow leaves the
+    # watermark at max(ts) − 1h; it does NOT flush open windows), so
+    # the batch expectation excludes windows ending after it. The
+    # closed windows MUST all be present: most of them were emitted by
+    # intermediate triggers, which is exactly what an
+    # overwrite-instead-of-append bug would lose.
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("interval 1 hour")).alias("wm"))
+        .collect()[0]
+        .wm
+    )
+    want = {
+        (r.window.start, r.event_type, r.cnt)
+        for r in batch.collect()
+        if r.window.end <= cutoff
+    }
+    assert len(want) > 10  # the fixture must actually close windows
+    assert got == want
