@@ -146,6 +146,14 @@ def run_stream(
                 f"streaming query still running after {timeout_sec}s — "
                 "refusing to return partial sink contents"
             )
+        # the checkpoint (RocksDB state + offset log) exists only to
+        # resume THIS run, and every run gets a fresh one — drop it so
+        # a long driver session's dozens of streaming verifications
+        # don't accumulate state dirs in /tmp. The SINK dir must stay:
+        # the returned DataFrame reads it lazily.
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
         if not any(
             f.endswith(".parquet")
             for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])

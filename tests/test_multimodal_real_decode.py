@@ -147,3 +147,43 @@ def test_non_rgb24_bmp_raises():
     )
     with pytest.raises(NotImplementedError, match="24bpp"):
         list(decode_media_stdlib(iter([batch])))
+
+
+def test_bmp_decode_property_all_padding_residues():
+    """Hypothesis sweep of the BMP decoder's two structural hazards —
+    4-byte row padding (exercise every width % 4 residue) and
+    bottom-up row order — against a pure-Python mean-luminance fold
+    over the same pixel grid. No numpy on the reference side."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.multimodal import (
+        _decode_bmp,
+    )
+
+    pixel = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9).flatmap(
+            lambda w: st.lists(
+                st.lists(pixel, min_size=w, max_size=w),
+                min_size=1,
+                max_size=6,
+            )
+        )
+    )
+    def check(pixels):
+        feats = _decode_bmp(_bmp_bytes(pixels))
+        assert feats["width"] == len(pixels[0])
+        assert feats["height"] == len(pixels)
+        want = sum(
+            0.299 * r + 0.587 * g + 0.114 * b
+            for row in pixels
+            for (r, g, b) in row
+        ) / (len(pixels) * len(pixels[0]))
+        assert abs(feats["mean_lum"] - want) < 1e-9
+
+    check()
