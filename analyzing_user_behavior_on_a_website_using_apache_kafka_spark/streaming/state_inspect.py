@@ -1,0 +1,80 @@
+"""Streaming state introspection — the statestore data source.
+
+At 100 TB the streaming jobs' state store is an operational blind
+spot: RocksDB holds millions of session/dedup/agg keys per partition,
+and when a job's state balloons (a watermark stuck behind one slow
+source, a hot key accumulating sessions) the only signals are coarse
+progress metrics. Spark 4's `statestore` data source turns the
+checkpoint itself into a readable table — every state row as (key,
+value, partition_id) — so state debugging becomes ordinary DataFrame
+work: group by partition for skew, filter keys for a stuck user,
+diff two batch versions for growth attribution. Reads run against
+checkpoint files with executor parallelism; nothing streams through
+the driver and the live query keeps running.
+
+The reference has no analog (its "state" is the full Kafka log,
+rescanned per report — SURVEY §0.2); this is the ops surface the
+rebuild's real state stores need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    batch_id: int | None = None,
+    operator_id: int | None = None,
+    store_name: str | None = None,
+) -> DataFrame:
+    """State rows of one operator's store at one batch version, as a
+    DataFrame of (key struct, value struct, partition_id).
+
+    Defaults follow the source: latest committed batch, operator 0,
+    the `default` store. Multi-stateful-operator queries (stream-stream
+    join + dedup in one plan) address each operator via `operator_id`
+    from `state_metadata`; stream-stream joins keep four stores per
+    operator (left/right × keyToNumValues/keyWithIndexToValue) selected
+    by `store_name`. NOTE the value struct carries the operator's
+    INTERNAL buffer field names (a `.agg(count(*).alias("cnt"))` state
+    says `count` — the store sits before the final projection), so
+    joins back to query output go through the key columns."""
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    if operator_id is not None:
+        reader = reader.option("operatorId", operator_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    return reader.load(checkpoint)
+
+
+def state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """The checkpoint's operator map: (operatorId, operatorName,
+    stateStoreName, numPartitions, minBatchId, maxBatchId) — which
+    stores exist, under which ids, and the batch-version range still
+    readable (bounded by `minDeltasForSnapshot` retention)."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def partition_skew(state: DataFrame) -> DataFrame:
+    """Per-partition key counts plus each partition's share of the
+    total — THE first diagnostic when one executor's RocksDB outgrows
+    the rest. A healthy hash-partitioned store sits near share ≈
+    1/numPartitions; a hot entity (one user accumulating sessions, one
+    join key with unbounded matches) shows as a share spike on its
+    partition."""
+    total = state.count()
+    return (
+        state.groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .withColumn(
+            "share",
+            F.round(F.col("n_keys") / F.lit(max(total, 1)), 6),
+        )
+        .orderBy(F.col("n_keys").desc())
+    )
