@@ -1411,8 +1411,10 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate surface with a NULL neighbor, so the output is always
     exactly one row per corpus vector (the rows-only driver invariant).
 
-    At 100 TB bucket width (_N_PLANES) rises until per-bucket cells fit
-    an executor; misses cost recall, not correctness of the flag —
+    Bucket width rises with corpus size (similarity.n_planes_for — 5
+    planes at fixture scale, wider once per-table occupancy passes 250,
+    a real rule since r12, not a comment); misses cost recall, not
+    correctness of the flag —
     near-dup pairs (cosine ≥ 0.9) collide in ≥1 of the 16 tables with
     probability ≈ 1 − 4e-5. Exact-NN recall vs `embed_cosine_allpairs`
     is asserted in tests/test_northstar.py.
@@ -1428,7 +1430,11 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..serialization import pickle_module_by_value
     from . import similarity
-    from .similarity import bucketed_all_tables, cosine_arrow
+    from .similarity import (
+        bucketed_all_tables,
+        cosine_arrow,
+        n_planes_for,
+    )
 
     # cosine_arrow ships to executor Python workers; by-value pickling
     # makes it importable-path-independent (same contract as
@@ -1447,8 +1453,13 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once per subtree copy (14 parquet scans audited at r6 end).
     # (vec_id, tbl, bucket) rows only — the emb payload is dropped
     # before caching. Session-lifetime cache (_CACHE_OWNERSHIP note).
+    # scale-adaptive code width: 5 planes (the oracle-replayed width)
+    # at every fixture scale, widening with corpus size so the bucket
+    # self-join below stays occupancy-bounded — the r12 sign-replica
+    # probe measured the FIXED 2⁵ space quadratic (exponent 1.94,
+    # 1261 s at 100×); see similarity.n_planes_for
     bucketed = (
-        bucketed_all_tables(v)
+        bucketed_all_tables(v, n_planes=n_planes_for(v.count()))
         .drop("emb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -209,11 +209,39 @@ def q_embed_normquant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tuned for the fixture distribution (near-random 64-d vectors, top-10
 # cosine ≈ 0.3 → per-bit collision prob ≈ 0.60): 5-bit codes × 16 tables
 # gives measured recall ≈ 0.78 at ~43% candidate rate. Corpora with real
-# (clustered) embeddings tolerate far more bits — at 100 TB raise
-# _N_PLANES until the candidate rate fits the budget; recall degrades
-# gracefully per the (1-θ/π)^bits collision curve.
-_N_PLANES = 5
+# (clustered) embeddings tolerate far more bits — at scale the code
+# width RISES with corpus size (n_planes_for below) so per-bucket
+# occupancy stays bounded; recall degrades gracefully per the
+# (1-θ/π)^bits collision curve.
+_N_PLANES = 5  # floor — and the exact width at every fixture scale
 _N_TABLES = 16
+_MAX_PLANES = 16  # widest code the bucket UDF precomputes
+_TARGET_BUCKET = 250  # per-table occupancy ceiling before widening
+
+
+def n_planes_for(n: int) -> int:
+    """Bucket-code width for an n-vector corpus: smallest width whose
+    2^planes buckets per table keep expected occupancy ≤ _TARGET_BUCKET,
+    floored at _N_PLANES and capped at _MAX_PLANES.
+
+    IDENTICAL to the historical constant 5 for every n ≤ 8000 — which
+    covers sf0.001/sf0.01/sf0.1 (500/500/2000 vectors) and the 10×
+    probe replica (5000), so driver-scale bucket ids are bit-for-bit
+    the ones the static DuckDB oracles replay. The width engages above
+    that: the r12 sign-replica probe measured the FIXED 16×2⁵ space
+    going quadratic on the bucketed self-join (3.81 → 14.32 → 1261 s
+    at 1/10/100×, exponent 1.94 — the r10 simhash saturation class);
+    at 100× (50k vectors) this returns 8 planes (256 buckets/table,
+    ~195 occupancy) and the same probe measures 186.7 s / exponent
+    1.22 — candidate volume is n·occupancy·tables/2, linear in n once
+    occupancy pins at the target (the residual over-1 exponent is the
+    5→8-plane transition inside the measured decade). Recall
+    for 0.9-cosine near-dups at 8 planes stays ≈ 1−(1−0.856⁸)¹⁶ ≈
+    0.996 (per-bit collision 1−θ/π = 0.856)."""
+    import math
+
+    need = math.ceil(math.log2(max(1.0, n / _TARGET_BUCKET)))
+    return min(_MAX_PLANES, max(_N_PLANES, need))
 
 
 def _plane_coeff(table: int, plane: int, dim: int) -> float:
@@ -251,16 +279,17 @@ _COEFF_CACHE: dict[int, "object"] = {}
 
 
 def _coeff_matrix(dim: int):
-    """(dim × _N_TABLES·_N_PLANES) hyperplane matrix, column (t·P + p) =
-    plane p of table t — identical coefficients to `simhash_bucket`."""
+    """(dim × _N_TABLES·_MAX_PLANES) hyperplane matrix, column (t·P + p)
+    = plane p of table t — identical coefficients to `simhash_bucket`
+    for the planes both compute (p < _N_PLANES)."""
     import numpy as np
 
     if dim not in _COEFF_CACHE:
-        m = np.empty((dim, _N_TABLES * _N_PLANES), dtype=np.float64)
+        m = np.empty((dim, _N_TABLES * _MAX_PLANES), dtype=np.float64)
         for t in range(_N_TABLES):
-            for p in range(_N_PLANES):
+            for p in range(_MAX_PLANES):
                 for d in range(dim):
-                    m[d, t * _N_PLANES + p] = _plane_coeff(t, p, d)
+                    m[d, t * _MAX_PLANES + p] = _plane_coeff(t, p, d)
         _COEFF_CACHE[dim] = m
     return _COEFF_CACHE[dim]
 
@@ -269,14 +298,20 @@ def _coeff_matrix(dim: int):
 # string return types parse against the ACTIVE session, which need not
 # exist when this module is imported (e.g. pytest collection)
 def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
-    """All _N_TABLES bucket ids per vector as ONE numpy matmul.
+    """All _N_TABLES WIDE (_MAX_PLANES-bit) bucket ids per vector as
+    ONE numpy matmul.
 
-    The pure-expression twin (`simhash_bucket`) runs 80 higher-order
+    The pure-expression twin (`simhash_bucket`) runs higher-order
     `aggregate` lambdas per row, which Catalyst interprets rather than
     codegens — an order of magnitude slower. Here each Arrow batch does
-    a single (batch × dim) @ (dim × 80) product, takes signs, and packs
-    _N_PLANES bits per table (plane 0 = MSB, matching
-    `bucket*2 + bit`). Equality of the two paths is asserted in
+    a single (batch × dim) @ (dim × 256) product, takes signs, and
+    packs _MAX_PLANES bits per table (plane 0 = MSB, matching
+    `bucket*2 + bit`). The UDF always emits the WIDEST code; consumers
+    right-shift down to their width (a p-plane bucket id is the top p
+    bits — prefix property of sign-bit codes), which keeps this UDF a
+    single module-level object so CacheManager canonical matching holds
+    across every caller (the r11 cache-census invariant). Equality of
+    the two paths at the _N_PLANES width is asserted in
     tests/test_northstar.py.
     """
     import numpy as np
@@ -287,23 +322,30 @@ def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     x = np.vstack(emb.to_numpy())  # (n, dim)
     bits = (x @ _coeff_matrix(x.shape[1]) >= 0).astype(np.int64)
     weights = np.tile(
-        1 << np.arange(_N_PLANES - 1, -1, -1, dtype=np.int64), _N_TABLES
+        1 << np.arange(_MAX_PLANES - 1, -1, -1, dtype=np.int64), _N_TABLES
     )
-    packed = (bits * weights).reshape(-1, _N_TABLES, _N_PLANES).sum(axis=2)
+    packed = (bits * weights).reshape(-1, _N_TABLES, _MAX_PLANES).sum(axis=2)
     return pd.Series(list(packed.astype(np.int32)))
 
 
-def bucketed_all_tables(v: DataFrame) -> DataFrame:
+def bucketed_all_tables(
+    v: DataFrame, n_planes: int = _N_PLANES
+) -> DataFrame:
     """(vec_id, emb) → (vec_id, emb, tbl, bucket) for ALL LSH tables in
-    ONE corpus pass.
+    ONE corpus pass, at an `n_planes`-bit code width.
 
-    All _N_TABLES × _N_PLANES projections are computed per row by the
-    Arrow-batched matmul UDF, then pivoted to rows with `posexplode` —
-    versus a per-table union, which re-scans (and re-computes the
-    bucket expressions over) the corpus _N_TABLES times. Output volume
-    is identical (n × _N_TABLES rows); input volume drops 16× and the
-    projection math runs vectorized. Dimensionality is inferred from
-    the data (the coefficient matrix is built per observed dim).
+    All _N_TABLES × _MAX_PLANES projections are computed per row by the
+    Arrow-batched matmul UDF, then pivoted to rows with `posexplode`
+    and right-shifted to the requested width — versus a per-table
+    union, which re-scans (and re-computes the bucket expressions
+    over) the corpus _N_TABLES times. Output volume is identical
+    (n × _N_TABLES rows); input volume drops 16× and the projection
+    math runs vectorized. Dimensionality is inferred from the data
+    (the coefficient matrix is built per observed dim). At the default
+    width the shift leaves exactly the historical 5-bit ids, so every
+    fixture-scale plan and oracle is unchanged; scale-aware callers
+    pass `n_planes_for(corpus_count)` (see its docstring for the
+    measured quadratic this bounds).
     """
     from ..serialization import pickle_module_by_value
 
@@ -311,7 +353,14 @@ def bucketed_all_tables(v: DataFrame) -> DataFrame:
     return v.select(
         "vec_id", "emb", _lsh_bucket_ids("emb").alias("_bks")
     ).select(
-        "vec_id", "emb", F.posexplode("_bks").alias("tbl", "bucket")
+        "vec_id",
+        "emb",
+        F.posexplode("_bks").alias("tbl", "_wide"),
+    ).select(
+        "vec_id",
+        "emb",
+        "tbl",
+        F.shiftright("_wide", _MAX_PLANES - n_planes).alias("bucket"),
     )
 
 
@@ -920,7 +969,11 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bucketed = bucketed_all_tables(v)
+    # scale-adaptive code width (n_planes_for): 5 planes — the width
+    # the static oracle replays — at every fixture scale; wider only
+    # when occupancy demands it (the count() is a separate tiny job,
+    # not part of the returned plan)
+    bucketed = bucketed_all_tables(v, n_planes=n_planes_for(v.count()))
     probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("probe_emb"),

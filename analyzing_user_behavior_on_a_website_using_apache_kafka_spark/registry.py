@@ -108,9 +108,11 @@ _PRIORITY: tuple[str, ...] = (
     # slipped (q_time_rollup, q_topk_per_group, q_union_all,
     # q_union_distinct, q_unpivot — staleness exactly 3, declared
     # NEXT_WINDOW_LEADS last round: hard leads here per the slip
-    # rule), then 33 of the 41 r9-checked at-bound keys.  The proposer
-    # flagged 58 mandatory keys for 50 slots; the overflow resolves by
-    # slipping EIGHT at-bound r9 keys (NEXT_WINDOW_LEADS below —
+    # rule), then 31 of the 41 r9-checked at-bound keys (the two
+    # late-round LSH-width changes, q_sim_ann + q_dedup_embed_cosine,
+    # took two more slots).  The proposer flagged mandatory keys past
+    # the 50 slots; the overflow resolves by
+    # slipping TEN at-bound r9 keys (NEXT_WINDOW_LEADS below —
     # staleness exactly 3 after r12, legal; all family-covered) which
     # become MANDATORY r13 leads.  Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
@@ -136,6 +138,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_sliding",
     # --- changed this round (explicit NULL-range contract) ---
     "q_join_range_binned",
+    # --- changed this round (scale-adaptive LSH code width): the
+    # bucket UDF now emits 16-bit wide ids right-shifted to
+    # n_planes_for(corpus) — bit-identical 5-plane buckets at every
+    # fixture scale (oracles unchanged), wider only above ~8k vectors,
+    # where the r12 sign-replica probe measured the fixed 2⁵ space
+    # quadratic (exponent 1.94, 1261 s at 100×) ---
+    "q_sim_ann",
+    "q_dedup_embed_cosine",
     # --- past staleness bound (last r8) ---
     "q_time_rollup",
     "q_topk_per_group",
@@ -171,8 +181,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_langstats",
     "q_text_ngram_counts",
     "q_text_normalize",
-    "q_text_pii_scrub",
-    "q_text_repetition",
     "q_udf_cogroup",
     "q_udtf_explode",
     "q_win_first_last",
@@ -194,6 +202,8 @@ NEXT_WINDOW_LEADS: tuple[str, ...] = (
     "q_embed_normquant",
     "q_event_attribution",
     "q_event_transitions",
+    "q_text_pii_scrub",
+    "q_text_repetition",
     "q_text_rollhash",
     "q_text_tfidf",
     "q_text_token_bpe",

@@ -144,6 +144,34 @@ PAIR_PROBES = {
     # measured exponent is the full pairs→components pipeline, which
     # is what a dedup consumer actually pays.
     "q_dedup_clusters": "pair build + CC (contraction + star rounds)",
+    # r12: the shingle-hash postings join — token-suffixed replicas
+    # keep cross-replica shingles disjoint, so postings-bucket sizes
+    # and true span-dup output both grow K-linearly.
+    "q_dedup_substring": "shingle-hash postings join (ExactSubstr)",
+}
+
+# Embedding pair-join probe set (--embpairs, r12). The documents-based
+# sparse replicas can't exercise the EMBEDDING pair plans, so these use
+# SIGN-FLIP replicas: replica i multiplies every vector by a
+# deterministic per-replica ±1 pattern (replica 0 = identity). A
+# diagonal ±1 matrix is orthogonal, so WITHIN-replica cosines are
+# preserved bit-for-bit (the true near-dup structure replicates
+# K-linearly) while CROSS-replica cosines concentrate near 0 (measured
+# max 0.58 on the fixture — far under the 0.9 near-dup threshold).
+# NOTE this probe is built to SHOW the fixed-bucket-space property:
+# _N_PLANES/_N_TABLES are code constants (16 tables × 2⁵ buckets), so
+# per-bucket occupancy grows ~K and the within-bucket self-join grows
+# ~K² — the same saturation class as r10's fixed simhash bands. The
+# semantic-dedup key is EXCLUDED: its τ=0.35 threshold sits below the
+# cross-replica cosine tail (p99.9 = 0.38), so sign-flip replicas
+# would add spurious cross pairs and measure a fixture artifact.
+EMB_PAIR_PROBES = {
+    "q_dedup_embed_cosine": "LSH bucket self-join + Arrow verify; "
+                            "adaptive code width (n_planes_for) since "
+                            "r12 — was FIXED 16x32 (exponent 1.94, "
+                            "1261 s at 100x; now 1.22, 187 s)",
+    "q_sim_ann": "bucket probe, FIXED probe set (contrast: occupancy-"
+                 "linear, not occupancy-quadratic)",
 }
 
 
@@ -291,6 +319,65 @@ def build_sparse_replica(base_sf: str, k: int) -> str:
     return _locked_replica(out, fp, _build)
 
 
+def build_sign_replica(base_sf: str, k: int) -> str:
+    """Embeddings replicated K× with vec_id offsets and per-replica
+    sign flips (see EMB_PAIR_PROBES note); every other table passes
+    through untouched. Same flock discipline as the other builders."""
+    import hashlib
+
+    base_tag = hashlib.md5(
+        os.path.abspath(base_sf).encode()
+    ).hexdigest()[:8]
+    out = os.path.join(WORK, f"{base_tag}_sign_x{k}")
+    fp = _base_fingerprint(base_sf)
+
+    def _build(tmp: str) -> None:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(os.path.join(base_sf, "embeddings.parquet"))
+        vec_ids = src["vec_id"].to_numpy()
+        labels = src["label"].to_numpy()
+        emb = np.array(src["embedding"].to_pylist(), dtype=np.float32)
+        dim = emb.shape[1]
+        ids_out, emb_out, lab_out = [], [], []
+        for i in range(k):
+            if i == 0:
+                signs = np.ones(dim, dtype=np.float32)
+            else:
+                signs = (
+                    np.random.RandomState(i)
+                    .choice([-1.0, 1.0], size=dim)
+                    .astype(np.float32)
+                )
+            ids_out.append(vec_ids + i * _OFF)
+            emb_out.append(emb * signs)
+            lab_out.append(labels)
+        table = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate(ids_out), type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    [row for block in emb_out for row in block.tolist()],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(
+                    np.concatenate(lab_out), type=pa.int32()
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(tmp, "embeddings.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"):
+            s = os.path.join(base_sf, f"{t}.parquet")
+            if os.path.exists(s):
+                shutil.copyfile(s, os.path.join(tmp, f"{t}.parquet"))
+
+    return _locked_replica(out, fp, _build)
+
+
 def run_cc_probe(ks: list[int]) -> None:
     """--cc mode: measure connected_components scaling DIRECTLY on
     synthetic edge sets (r8, with the per-partition contraction pass).
@@ -392,19 +479,27 @@ def main() -> None:
     pairs_mode = "--pairs" in args
     if pairs_mode:
         args.remove("--pairs")
+    embpairs_mode = "--embpairs" in args
+    if embpairs_mode:
+        args.remove("--embpairs")
     ks = [int(a) for a in args] or [1, 10, 100]
-    probes = PAIR_PROBES if pairs_mode else PROBES
+    probes = (
+        EMB_PAIR_PROBES if embpairs_mode
+        else PAIR_PROBES if pairs_mode
+        else PROBES
+    )
     subset = os.environ.get("SCALE_PROBE_QUERIES")
     if subset:  # e.g. SCALE_PROBE_QUERIES=q_dedup_exact,q_text_tokens
         probes = {n: probes[n] for n in subset.split(",")}
-    if pairs_mode:
+    if pairs_mode or embpairs_mode:
         # sf0.01 base: within-replica pair output is ~92 k rows, so the
         # 100x sparse corpus (50 k docs) lands near sf0.1's single-run
         # output — tractable where an sf0.1 base would be ~100x slower
         base = os.environ.get(
             "SCALE_PROBE_PAIRS_BASE", "/root/testdata/sf0.01"
         )
-        dirs = {k: build_sparse_replica(base, k) for k in ks}
+        build = build_sign_replica if embpairs_mode else build_sparse_replica
+        dirs = {k: build(base, k) for k in ks}
     else:
         dirs = {k: build_replica(k) for k in ks}
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
