@@ -1457,9 +1457,16 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at every fixture scale, widening with corpus size so the bucket
     # self-join below stays occupancy-bounded — the r12 sign-replica
     # probe measured the FIXED 2⁵ space quadratic (exponent 1.94,
-    # 1261 s at 100×); see similarity.n_planes_for
+    # 1261 s at 100×); see similarity.n_planes_for. Corpus size comes
+    # from the parquet footer (catalog.table_rows) so constructing the
+    # plan stays lazy — the former v.count() ran an eager scan per
+    # construction (ADVICE r12).
+    from ..catalog import table_rows
+
     bucketed = (
-        bucketed_all_tables(v, n_planes=n_planes_for(v.count()))
+        bucketed_all_tables(
+            v, n_planes=n_planes_for(table_rows(spark, sf_dir, "embeddings"))
+        )
         .drop("emb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

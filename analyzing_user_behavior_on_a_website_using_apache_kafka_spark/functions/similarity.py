@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rows
 from ..registry import query
 
 N_PROBES = 5  # probe set = vec_id < N_PROBES
@@ -362,6 +362,39 @@ def bucketed_all_tables(
         "tbl",
         F.shiftright("_wide", _MAX_PLANES - n_planes).alias("bucket"),
     )
+
+
+def ann_probe_buckets(probes: DataFrame, n_planes: int) -> DataFrame:
+    """Multi-probe expansion of an ANN probe frame (Lv et al., VLDB'07).
+
+    Width adaptation protects the DEDUP self-join (candidates within
+    ≥0.9-cosine pairs keep per-bit collision 0.856, so 8-plane recall
+    stays ≈0.996), but ANN probing hunts ~0.5-cosine neighbors whose
+    per-bit collision is only ~0.67 — at 8 planes a single-bucket probe's
+    union recall over 16 tables collapses from ~0.89 to ~0.47 (ADVICE
+    r12). The standard fix: probe the neighborhood, not just the home
+    bucket. Each probe row fans out to its home bucket plus every
+    1-bit-flip bucket — the `n_planes` codes nearest in hamming space,
+    exactly the buckets a near-miss sign flip would have landed in. At 8
+    planes that restores per-table hit probability to p⁸+8p⁷(1−p) ≈ 0.20
+    (p = 0.67), union ≈ 0.97 over 16 tables — ABOVE the plain 5-plane
+    0.89 — while candidate volume stays (1+planes)·occupancy·tables per
+    probe, occupancy-bounded by n_planes_for. At the floor width the
+    expansion is OFF (identity), so every fixture-scale plan and the
+    static DuckDB oracle are bit-for-bit unchanged; the wide-width
+    recall floor is gated in tests/test_northstar.py on a forced-width
+    run, not computed from the formula.
+    """
+    if n_planes <= _N_PLANES:
+        return probes
+    flips = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(n_planes)
+        ],
+    )
+    return probes.withColumn("bucket", F.explode(flips))
 
 
 # --- ANN: IVF (inverted-file) variant ---------------------------------------
@@ -971,14 +1004,24 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # scale-adaptive code width (n_planes_for): 5 planes — the width
     # the static oracle replays — at every fixture scale; wider only
-    # when occupancy demands it (the count() is a separate tiny job,
-    # not part of the returned plan)
-    bucketed = bucketed_all_tables(v, n_planes=n_planes_for(v.count()))
-    probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("emb").alias("probe_emb"),
-        "tbl",
-        "bucket",
+    # when occupancy demands it. Corpus size comes from the parquet
+    # FOOTER (catalog.table_rows, memoized) — construction stays lazy
+    # and side-effect-free (ADVICE r12: the former v.count() ran an
+    # eager corpus scan per plan construction). ANN probing widens
+    # WITH multi-probe compensation: at widths above _N_PLANES each
+    # probe also visits every 1-bit-flip neighbor bucket, holding
+    # union recall near the 5-plane level while per-bucket occupancy
+    # stays bounded (see ann_probe_buckets).
+    n_planes = n_planes_for(table_rows(spark, sf_dir, "embeddings"))
+    bucketed = bucketed_all_tables(v, n_planes=n_planes)
+    probes = ann_probe_buckets(
+        bucketed.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("emb").alias("probe_emb"),
+            "tbl",
+            "bucket",
+        ),
+        n_planes,
     )
     cands = (
         bucketed.join(F.broadcast(probes), ["tbl", "bucket"])

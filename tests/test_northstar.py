@@ -32,6 +32,119 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
 
 
+def test_ann_recall_survives_width_transition(spark, sf_dir):
+    """GATED (not computed) recall at the adapted code width (ADVICE
+    r12): n_planes_for widens bucket codes above 8k vectors, and for
+    ~0.5-cosine ANN neighbors a single-bucket probe at 8 planes drops
+    per-table collision to ~0.67⁸ ≈ 0.04 — union recall ~0.47, below
+    the 0.6 floor the fixture-width test asserts. ann_probe_buckets
+    compensates by probing every 1-bit-flip neighbor bucket. This test
+    FORCES the 8-plane width on the fixture corpus (the width the
+    first post-transition decade uses) and measures both variants
+    against brute force: compensated recall must clear the floor, and
+    the un-compensated single-bucket probe must be strictly worse —
+    proving the multi-probe is the thing doing the work, not fixture
+    luck."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        N_PROBES,
+        TOP_K,
+        _N_PLANES,
+        ann_probe_buckets,
+        bucketed_all_tables,
+        cosine,
+    )
+    from pyspark.sql import Window as W
+
+    qs = registry.all_queries()
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in qs["q_sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    wide = 8  # first post-transition width (n_planes_for at ~50k vecs)
+    assert wide > _N_PLANES  # the regime the fixture-width test misses
+    bucketed = bucketed_all_tables(v, n_planes=wide)
+    base_probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("probe_emb"),
+        "tbl",
+        "bucket",
+    )
+
+    def topk(probes):
+        cands = (
+            bucketed.join(F.broadcast(probes), ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "probe_emb", F.col("vec_id").alias("cand_id"), "emb"
+            )
+            .dropDuplicates(["probe_id", "cand_id"])
+        )
+        scored = cands.select(
+            "probe_id",
+            "cand_id",
+            cosine(F.col("probe_emb"), F.col("emb")).alias("sim"),
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("cand_id")
+        )
+        return {
+            (r.probe_id, r.cand_id)
+            for r in scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .collect()
+        }
+
+    plain = topk(base_probes)
+    multi = topk(ann_probe_buckets(base_probes, wide))
+    recall_plain = len(exact & plain) / len(exact)
+    recall_multi = len(exact & multi) / len(exact)
+    assert recall_multi >= 0.6, (
+        f"multi-probe recall {recall_multi:.2f} below floor at 8 planes"
+    )
+    assert recall_multi > recall_plain, (recall_multi, recall_plain)
+
+
+def test_ann_probe_expansion_identity_at_floor_width(spark, sf_dir):
+    """At the floor width the expansion must be a no-op (the SAME frame,
+    not an equivalent one) — fixture-scale plans and the static DuckDB
+    oracle replay depend on bit-identical bucket probing."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _N_PLANES,
+        ann_probe_buckets,
+    )
+
+    probes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("probe_id"), F.lit(3).alias("bucket")
+    )
+    assert ann_probe_buckets(probes, _N_PLANES) is probes
+    expanded = ann_probe_buckets(probes, _N_PLANES + 3)
+    n = probes.count()
+    # home bucket + one flip per plane, all distinct codes
+    assert expanded.count() == n * (_N_PLANES + 3 + 1)
+    assert (
+        expanded.select("probe_id", "bucket").distinct().count()
+        == n * (_N_PLANES + 3 + 1) / n * n
+    )
+
+
+def test_table_rows_matches_scan_count(spark, sf_dir):
+    """catalog.table_rows (parquet-footer metadata, memoized) must agree
+    with an actual scan for every fixture table — it now feeds the LSH
+    width rules at plan-construction time."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        TABLES,
+        table_rows,
+    )
+
+    for name in TABLES:
+        assert table_rows(spark, sf_dir, name) == load_table(
+            spark, sf_dir, name
+        ).count(), name
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     qs = registry.all_queries()
     exact = {
