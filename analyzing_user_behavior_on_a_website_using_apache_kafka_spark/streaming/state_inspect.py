@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ensure_coordinator(spark: SparkSession) -> None:
+    """Materialize the driver's StateStoreCoordinator endpoint before a
+    batch statestore read.
+
+    The coordinator is created lazily by the FIRST streaming query a
+    session runs; a fresh diagnostic session that goes straight to
+    `read_state` (the realistic ops path — attach to a checkpoint left
+    by a crashed or live job from a new process) has no endpoint, and
+    every state-loading task then dies with CANNOT_LOAD_STATE_STORE /
+    RpcEndpointNotFoundException(StateStoreCoordinator) — found r13
+    driving exactly that path. StreamingQueryManager caches the ref in
+    a lazy val, so touching its accessor is idempotent (same ref on
+    repeat calls, verified) and a streaming query started afterwards
+    reuses it rather than colliding on the endpoint name."""
+    try:
+        spark._jsparkSession.sessionState().streamingQueryManager().stateStoreCoordinator()
+    except Exception:
+        # private-API drift on a future Spark: fall back to the old
+        # behavior (reads still work in any session that has run a
+        # stream) rather than failing the diagnostic up front
+        pass
+
+
 def read_state(
     spark: SparkSession,
     checkpoint: str,
@@ -43,6 +66,7 @@ def read_state(
     INTERNAL buffer field names (a `.agg(count(*).alias("cnt"))` state
     says `count` — the store sits before the final projection), so
     joins back to query output go through the key columns."""
+    _ensure_coordinator(spark)
     reader = spark.read.format("statestore")
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)

@@ -107,7 +107,26 @@ EXTENDED = [
     # recompute fix holds round-over-round.
     "q_dedup_simhash",
     "q_dedup_embed_cosine",
+    # round-13 addition (VERDICT r12 item 7), tracked from its first
+    # round: the session-window job through the r12 foreachBatch→
+    # parquet harness — the streaming-state path whose scale fix
+    # (exponent 1.06 → 0.47 at 100× users) previously had no
+    # round-over-round number. Single-shot: its wall is dominated by
+    # micro-batch orchestration (trigger setup + checkpoint + sink
+    # read-back), which the variance study measured as narrow-banded;
+    # SCALE.md r13 notes the expected band.
+    "q_stream_session",
 ]
+
+# ADVICE r12: _REPS_KEEP_CACHE's correctness for q_dedup_clusters
+# depends on jaccard directly preceding it (the memo it measures CC
+# over) with no evicting multi-rep key between them — assert the
+# ordering at module load so a future reorder fails loudly instead of
+# silently changing what the clusters median measures.
+assert (
+    EXTENDED.index("q_dedup_clusters")
+    == EXTENDED.index("q_dedup_ngram_jaccard") + 1
+), "q_dedup_clusters must directly follow q_dedup_ngram_jaccard (warm memo)"
 
 
 N_REPS = 3  # headline repetitions; reported value = median total
@@ -121,9 +140,13 @@ N_REPS = 3  # headline repetitions; reported value = median total
 # joined r12 after an isolation study measured first-draw swings of
 # 2.7×/4.0× on a fresh-boot rig (7.4–19.8 s / 3.2–12.6 s; SCALE.md r12
 # variance note) — large enough to read as a phantom regression of the
-# two most-watched pair plans. Every other extended plan stays
-# single-shot: output-bound and comparatively narrow-banded TODAY
-# (substring 5.1–5.8 s, editdist 3.6–3.7 s in the same study).
+# two most-watched pair plans. substring and decontaminate joined r13
+# after BENCH_r12 drew exactly that phantom: 8.61 s / 4.30 s on a
+# load-5.22 rig (1.73× / 1.70× r11) with zero code change, both back
+# at r11 levels on the quiet-rig closing bench (VERDICT r12 item 3).
+# Remaining single-shot extended plans are output-bound and
+# comparatively narrow-banded TODAY (editdist 3.6–3.7 s in the same
+# study).
 # q_dedup_clusters CANNOT be multi-repped under eviction: its declared
 # semantics is "CC rounds over the session-persisted jaccard pair
 # memo" (see the pairs→clusters order note below), and evict_caches
@@ -147,6 +170,12 @@ EXTENDED_REPS = {
     "q_dedup_embed_cosine": 3,
     "q_dedup_editdist": 3,
     "q_dedup_clusters": 3,
+    # r13 (VERDICT r12 item 3): the two keys the loaded r12 driver rig
+    # drew 1.7× high with zero code change — the round's variance study
+    # had proven first draws run 2–4× but left these single-shot, so
+    # the phantom regression had no median to correct it.
+    "q_dedup_substring": 3,
+    "q_text_decontaminate": 3,
 }
 
 # Multi-rep keys that must NOT evict between reps. q_dedup_clusters'

@@ -81,23 +81,27 @@ def main() -> None:
         "| mem spill | disk spill | rows |"
     )
     print("|---|---|---|---|---|---|---|")
-    from bench import _consume
+    from pyspark.sql import functions as F
 
     for name in names:
         if name.startswith("q_stream_"):
             continue  # streaming: state-store traffic, not exchanges
         seen = {s["stageId"] for s in _stages(spark)}
-        # the honest consumer (bench._consume): a bare count() here let
-        # Catalyst eliminate joins and prune expensive projections —
-        # the r10 bench-consumer bug, which under-measured SHUFFLES the
-        # same way it under-measured time (q_dedup_ngram_jaccard's
-        # audited shuffle was 796 KB pruned vs the real plan's
-        # candidate exchange). Attribute stage metrics to this run;
-        # the row-count re-run below is warm (its stages finish before
-        # the next query's `seen` snapshot, so nothing leaks across).
-        _consume(qs[name](spark, SF_DIR))
+        # ONE honest consuming pass yields both the plan metrics and
+        # the row count (ADVICE r12 — the count() re-run doubled audit
+        # wall time and leaned on count() blocking for stage
+        # isolation): same sum(hash(*)) consumer as bench._consume —
+        # computing every output column so Catalyst can't eliminate
+        # joins or prune expensive projections (the r10 bench-consumer
+        # bug under-measured shuffles exactly that way) — with
+        # count(1) folded into the same single-row aggregate.
+        df = qs[name](spark, SF_DIR)
+        row = df.select(
+            F.sum(F.hash(*[F.col(c) for c in df.columns])),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        n = row[1]
         new = [s for s in _stages(spark) if s["stageId"] not in seen]
-        n = qs[name](spark, SF_DIR).count()
         w = sum(s.get("shuffleWriteBytes", 0) for s in new)
         r = sum(s.get("shuffleReadBytes", 0) for s in new)
         inp = sum(s.get("inputBytes", 0) for s in new)
