@@ -19,6 +19,8 @@ to the same buckets.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -236,10 +238,19 @@ def n_planes_for(n: int) -> int:
     1.22 — candidate volume is n·occupancy·tables/2, linear in n once
     occupancy pins at the target (the residual over-1 exponent is the
     5→8-plane transition inside the measured decade). Recall
-    for 0.9-cosine near-dups at 8 planes stays ≈ 1−(1−0.856⁸)¹⁶ ≈
-    0.996 (per-bit collision 1−θ/π = 0.856)."""
+    for 0.9-cosine near-dups at 8 planes is gated (not just computed)
+    on planted threshold-class pairs in tests/test_northstar.py
+    (per-bit collision 1−θ/π = 0.856 → 1−(1−0.856⁸)¹⁶ ≈ 0.996).
+
+    SPARK_GRAFT_LSH_FORCE_PLANES is a MEASUREMENT override for scale
+    probes only (the fixed-geometry control arm — e.g. pinning 8
+    planes across a decade to show the quadratic the adaptive rule
+    removes); production paths never set it."""
     import math
 
+    forced = os.environ.get("SPARK_GRAFT_LSH_FORCE_PLANES")
+    if forced:
+        return int(forced)
     need = math.ceil(math.log2(max(1.0, n / _TARGET_BUCKET)))
     return min(_MAX_PLANES, max(_N_PLANES, need))
 
