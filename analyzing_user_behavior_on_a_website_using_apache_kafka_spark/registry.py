@@ -89,115 +89,36 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-12 window, from `python tools/propose_window.py --changed
-    # q_stream_session,...,q_join_range_binned` (12 changed keys).
-    # Changed keys lead: ALL ELEVEN streaming keys' served plans
-    # changed this round because the shared verification harness moved
-    # off the memory sink — run_to_memory (format("memory"), which
-    # collects every result row into the driver's heap; complete mode
-    # held the entire aggregate table there, the O(output) driver
-    # materialization flagged weak for q_stream_session two rounds
-    # running, SCALE.md exponent 1.06) was replaced by run_stream, a
-    # foreachBatch→parquet sink whose per-batch writes run with the
-    # executors' parallelism and whose read-back is a distributed
-    # parquet scan (sources/file_stream.py).  q_join_range_binned also
-    # re-verifies: binned_band_self_join now gives NULL range values
-    # the explicit SQL semantics (zero-twin row via a pushed-IsNull
-    # union scan) instead of a comment-only non-null precondition
-    # (ADVICE r11).  Then the five r8-checked keys the r11 window
-    # slipped (q_time_rollup, q_topk_per_group, q_union_all,
-    # q_union_distinct, q_unpivot — staleness exactly 3, declared
-    # NEXT_WINDOW_LEADS last round: hard leads here per the slip
-    # rule), then 31 of the 41 r9-checked at-bound keys (the two
-    # late-round LSH-width changes, q_sim_ann + q_dedup_embed_cosine,
-    # took two more slots).  The proposer flagged mandatory keys past
-    # the 50 slots; the overflow resolves by
-    # slipping TEN at-bound r9 keys (NEXT_WINDOW_LEADS below —
-    # staleness exactly 3 after r12, legal; all family-covered) which
-    # become MANDATORY r13 leads.  Projected schedule (standing guard:
+    # Round-13 window, from `python tools/propose_window.py --changed
+    # q_dedup_simhash,q_sim_ann,q_dedup_embed_cosine`.  Changed keys
+    # lead: q_dedup_simhash's fingerprint path gained the
+    # corpus-adaptive band geometry (4×32 → 4×64-bit bands above
+    # ~4.6M docs, functions/dedup.py — fixture-scale output is
+    # bit-identical, but the construction signature and width
+    # selection changed); q_sim_ann and q_dedup_embed_cosine now
+    # derive the LSH code width from parquet-footer row counts
+    # (catalog.table_rows) instead of an eager v.count(), and ANN adds
+    # multi-probe expansion above the floor width (identity at fixture
+    # scale).  Then the TEN r9-stale NEXT_WINDOW_LEADS declared last
+    # round (staleness exactly 3 after r12 — MANDATORY leads here per
+    # the slip rule, VERDICT r12 item 2), then 37 of the 45
+    # r10-checked at-bound keys.  The proposer's overflow resolves by
+    # slipping EIGHT at-bound r10 keys (NEXT_WINDOW_LEADS below —
+    # staleness exactly 3 after r13, legal; all family-covered), which
+    # become MANDATORY r14 leads; q_stream_complete_agg is the
+    # family-coverage pin for the stream family (its other members all
+    # verified r12).  Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r13 = the 8 slipped r9 keys + 45 r10-checked keys (the four
-    #         r10-checked stream keys re-verify HERE, freeing exactly
-    #         the slots the slips need minus 3);
-    #   r14 = r13's ~3 slips + the r11-checked keys not re-checked
-    #         here (50 − q_stream_kafka_source, q_stream_sliding,
-    #         q_join_range_binned) = 50; disjoint steady state after.
+    #   r14 = the 8 slipped r10 keys + the r11-checked keys = 50;
+    #   r15 = the r12-checked keys; disjoint steady state after.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
-    # --- changed this round (streaming harness: memory sink -> foreachBatch parquet) ---
-    "q_stream_session",
-    "q_stream_complete_agg",
-    "q_stream_custom_state",
-    "q_stream_static_join",
-    "q_stream_tumbling",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    "q_stream_stream_left",
-    "q_stream_watermark_late",
-    "q_stream_kafka_source",
-    "q_stream_sliding",
-    # --- changed this round (explicit NULL-range contract) ---
-    "q_join_range_binned",
-    # --- changed this round (scale-adaptive LSH code width): the
-    # bucket UDF now emits 16-bit wide ids right-shifted to
-    # n_planes_for(corpus) — bit-identical 5-plane buckets at every
-    # fixture scale (oracles unchanged), wider only above ~8k vectors,
-    # where the r12 sign-replica probe measured the fixed 2⁵ space
-    # quadratic (exponent 1.94, 1261 s at 100×) ---
+    # --- changed this round (adaptive band geometry / footer-count
+    #     width rule + multi-probe) ---
+    "q_dedup_simhash",
     "q_sim_ann",
     "q_dedup_embed_cosine",
-    # --- past staleness bound (last r8) ---
-    "q_time_rollup",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_union_distinct",
-    "q_unpivot",
-    # --- at staleness bound (last r9) ---
-    "q_agg_approx_quantile",
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_sketch_merge",
-    "q_agg_stats",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
-    "q_join_dpp",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_sample_mixture",
-    "q_sim_ivf",
-    "q_sim_timeseries",
-    "q_sim_topk_bruteforce",
-    "q_sink_bucketed",
-    "q_sink_upsert",
-    "q_source_evolving_schema",
-    "q_sql_window",
-    "q_text_chunk",
-    "q_text_decontaminate",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_langstats",
-    "q_text_ngram_counts",
-    "q_text_normalize",
-    "q_udf_cogroup",
-    "q_udtf_explode",
-    "q_win_first_last",
-)
-
-
-# At-bound keys the window above could NOT fit (the proposer's rule-6
-# slips): they sit at staleness exactly 3 right now and MUST lead the
-# r13 rotation.  tools/rotation_check.py grants keys listed here a
-# one-round allowance (staleness == bound+1, never more), which
-# self-expires: if the next rotation fails to happen and another
-# round's results land, staleness hits bound+2 and the check goes red
-# for real.  Maintained together with _PRIORITY — the proposer prints
-# this tuple alongside the window
-# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
-# fails if a listed key is fresh, unregistered, or in-window).
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    # --- past staleness bound (last r9; the r12 slip debt) ---
     "q_cohort_retention",
     "q_embed_normquant",
     "q_event_attribution",
@@ -208,6 +129,67 @@ NEXT_WINDOW_LEADS: tuple[str, ...] = (
     "q_text_tfidf",
     "q_text_token_bpe",
     "q_text_unigram_logprob",
+    # --- at staleness bound (last r10) ---
+    "q_agg_count_by",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_sum_avg",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_event_dwell",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_range",
+    "q_funnel_conversion",
+    "q_growth_accounting",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_join_theta_range",
+    "q_multimodal_cols",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sim_pq_adc",
+    "q_sink_append",
+    "q_sink_partitioned",
+    "q_source_csv",
+    "q_source_json",
+    "q_sql_report",
+    "q_text_tokens",
+    "q_text_vocab",
+    "q_udaf_grouped",
+    "q_udf_pandas",
+    "q_win_lag_lead",
+    # --- family pin (stream) ---
+    "q_stream_complete_agg",
+)
+
+
+# At-bound keys the window above could NOT fit (the proposer's rule-6
+# slips): they sit at staleness exactly 3 right now and MUST lead the
+# r14 rotation.  tools/rotation_check.py grants keys listed here a
+# one-round allowance (staleness == bound+1, never more), which
+# self-expires: if the next rotation fails to happen and another
+# round's results land, staleness hits bound+2 and the check goes red
+# for real.  Maintained together with _PRIORITY — the proposer prints
+# this tuple alongside the window
+# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
+# fails if a listed key is fresh, unregistered, or in-window).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_intersect",
+    "q_json_funcs",
+    "q_math_funcs",
+    "q_pack_sequences",
+    "q_path_topk",
+    "q_pipeline_curate",
+    "q_pivot",
+    "q_project_derive",
 )
 
 
