@@ -247,8 +247,9 @@ def _ensure_loaded() -> None:
     # and is environment-blocked: pyspark 4.1.2's TwS state-server
     # protocol imports google.protobuf, absent from this container
     # (verified: the driver-side schema worker crashes on the import;
-    # installs are off-limits). Re-probed r7, r8 (2026-08-14) and r9
-    # (2026-08-15):
+    # installs are off-limits). Re-probed r7, r8 (2026-08-14), r9
+    # (2026-08-15) and r13 (2026-08-16; the spark-sql-kafka jar is
+    # likewise still absent from the bundled jars):
     #   python -c "import google.protobuf"
     #     -> ModuleNotFoundError: No module named 'google'
     #   (grpc likewise absent) — still blocked. Revisit each round;
