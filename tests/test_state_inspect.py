@@ -21,6 +21,7 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.state_inspect import (
     partition_skew,
     read_state,
+    state_diff,
     state_metadata,
 )
 
@@ -310,3 +311,89 @@ def test_session_window_state_one_row_per_session(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 100  # the fixture really is multi-session
+
+
+def test_state_diff_attributes_growth_between_batches(spark, sf_dir):
+    """state_diff — the module docstring's 'diff two batch versions for
+    growth attribution' as a real operation. A two-file source with
+    maxFilesPerTrigger=1 forces two micro-batches of a complete-mode
+    count, so the store has two readable versions with different
+    counts. Pins: (a) the final version equals the batch groupBy on the
+    whole fixture (external truth), (b) the diff of version 0 → final
+    classifies exactly the keys whose counts changed (updated) or that
+    first appeared in the second batch (added), with the correct
+    before/after values, and (c) unchanged keys are absent."""
+    name = f"inspect_diff_{uuid.uuid4().hex[:10]}"
+    src = os.path.join(tempfile.gettempdir(), "aub_diffsrc", name)
+    ckpt = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
+    sink = os.path.join(tempfile.gettempdir(), "aub_streamsink", name)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    half = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= half).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.filter(F.col("event_id") > half).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    schema = spark.read.parquet(os.path.join(src, "a")).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(sink)
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert q.exception() is None
+
+    meta = state_metadata(spark, ckpt).collect()[0]
+    assert meta.maxBatchId >= 1, "need two batch versions to diff"
+    v0 = {
+        r.key.event_type: r.value["count"]
+        for r in read_state(spark, ckpt, batch_id=0).collect()
+    }
+    vN = {
+        r.key.event_type: r.value["count"]
+        for r in read_state(
+            spark, ckpt, batch_id=meta.maxBatchId
+        ).collect()
+    }
+    # external truth: the final version is the whole-fixture groupBy
+    want_final = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert vN == want_final
+    assert v0 != vN  # the two-batch split really produced growth
+    diff = {
+        r.key.event_type: (
+            r.change,
+            r.value_a["count"] if r.value_a is not None else None,
+            r.value_b["count"] if r.value_b is not None else None,
+        )
+        for r in state_diff(spark, ckpt, 0, meta.maxBatchId).collect()
+    }
+    want_diff = {}
+    for k in set(v0) | set(vN):
+        if k not in v0:
+            want_diff[k] = ("added", None, vN[k])
+        elif k not in vN:
+            want_diff[k] = ("removed", v0[k], None)
+        elif v0[k] != vN[k]:
+            want_diff[k] = ("updated", v0[k], vN[k])
+    assert diff == want_diff
+    assert any(c == "updated" for c, _a, _b in diff.values())
