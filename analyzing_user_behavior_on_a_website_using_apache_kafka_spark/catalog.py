@@ -128,18 +128,30 @@ def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     double-charges any tool that constructs the plan twice (ADVICE
     r12). Parquet footers carry exact row counts, so this is a local
     metadata read — the same information a cluster catalog serves from
-    table statistics. Falls back to a Spark count() only when the path
-    is not footer-readable (e.g. object storage without a local
-    pyarrow filesystem), memoized either way.
+    table statistics. Directory layouts skip the paths Spark's scan
+    skips (any component starting with '_' or '.': _temporary job
+    attempts, _SUCCESS markers, hidden files), so the footer count
+    matches the scan count even on a layout a crashed write left
+    behind. Falls back to a Spark count() when the path is not
+    footer-readable (e.g. object storage without a local pyarrow
+    filesystem) — that branch is deliberately UNCACHED (no stat-based
+    identity exists to invalidate on), so non-local callers pay an
+    eager count per construction; at cluster scale the real answer is
+    catalog/table statistics, not this helper.
     """
     path = table_path(sf_dir, name)
+
+    def _hidden(p: str) -> bool:
+        return p.startswith("_") or p.startswith(".")
+
     files = []
     if os.path.isdir(path):
-        for root, _dirs, names in os.walk(path):
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not _hidden(d)]
             files.extend(
                 os.path.join(root, f)
                 for f in names
-                if f.endswith(".parquet")
+                if f.endswith(".parquet") and not _hidden(f)
             )
     elif os.path.exists(path):
         files.append(path)

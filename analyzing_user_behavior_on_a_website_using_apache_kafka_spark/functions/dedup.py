@@ -1115,40 +1115,10 @@ def _simhash_band_bits_for(n: int) -> int:
 def _simhash_sign_sum_wide(
     h0: pd.Series, h1: pd.Series, h2: pd.Series, h3: pd.Series
 ) -> pd.DataFrame:
-    cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
-    families = (h0, h1, h2, h3)
-    nrows = len(h0)
-    out = np.zeros((nrows, _SIMHASH_BANDS), dtype=np.uint64)
-    empty = np.empty(0, dtype=np.int64)
-    arrs0 = [
-        np.asarray(x, dtype=np.int64) if x is not None else empty
-        for x in h0
-    ]
-    lens = np.fromiter((len(x) for x in arrs0), np.int64, count=nrows)
-    nz = lens > 0
-    if not nz.any():
-        return pd.DataFrame(out.view(np.int64), columns=cols)
-    offs = np.zeros(nrows, dtype=np.int64)
-    np.cumsum(lens[:-1], out=offs[1:])
-    offs_nz = offs[nz]
-    half = lens[nz]
-    for j, fam in enumerate(families):
-        arrs = (
-            arrs0
-            if j == 0
-            else [
-                np.asarray(x, dtype=np.int64) if x is not None else empty
-                for x in fam
-            ]
-        )
-        flat = np.concatenate(arrs).view(np.uint64)
-        for b in range(64):
-            bits = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-            ones = np.add.reduceat(bits, offs_nz)
-            sel = np.zeros(nrows, dtype=bool)
-            sel[nz] = (2 * ones) > half  # strict majority
-            out[sel, j] |= np.uint64(1) << np.uint64(b)
-    return pd.DataFrame(out.view(np.int64), columns=cols)
+    return pd.DataFrame(
+        _sign_sum_bands((h0, h1, h2, h3), 64),
+        columns=[f"sh{j}" for j in range(_SIMHASH_BANDS)],
+    )
 
 
 def simhash_fingerprints(
@@ -1189,6 +1159,15 @@ def simhash_fingerprints(
     arrays) once per doc and returns 32 bytes.
     """
     from ..catalog import table_rows
+    from ..serialization import pickle_module_by_value
+
+    # Both sign-sum UDFs now delegate to the module-level
+    # _sign_sum_bands helper; a by-value-pickled UDF's reference to a
+    # named module-level function would otherwise travel by module +
+    # qualname and die in vanilla-session workers (the serialization.py
+    # rationale) — register this module for by-value transport, same
+    # as similarity.bucketed_all_tables does for its module.
+    pickle_module_by_value(__name__)
 
     if band_bits is None:  # geometry from the corpus size (footer read)
         band_bits = _simhash_band_bits_for(
@@ -1244,24 +1223,40 @@ def simhash_fingerprints(
     )
 )
 def _simhash_sign_sum(hlo: pd.Series, hhi: pd.Series) -> pd.DataFrame:
-    cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
-    nrows = len(hlo)
-    out = np.zeros((nrows, _SIMHASH_BANDS), dtype=np.int64)
+    return pd.DataFrame(
+        _sign_sum_bands((hlo, hhi), _SIMHASH_BAND_WIDTH),
+        columns=[f"sh{j}" for j in range(_SIMHASH_BANDS)],
+    )
+
+
+def _sign_sum_bands(families, band_width: int):
+    """Shared sign-sum core for BOTH band geometries (one copy of the
+    fragile numpy machinery — r13 review): `families` is a sequence of
+    pd.Series of int64 hash arrays (one per 64-bit hash family, equal
+    row lengths since all derive from one token array); returns an
+    (nrows × _SIMHASH_BANDS) int64 matrix of band words at
+    `band_width` bits per band (32 → global bit wsel·64+b lands in
+    word divmod(g, 32); 64 → band j IS family j). Accumulates in
+    uint64 (the wide geometry uses bit 63) and reinterprets to int64
+    for the bigint columns — downstream equality/xor/bit_count are
+    sign-agnostic, and narrow-band values never touch the sign bit so
+    the view is identity there."""
+    nrows = len(families[0])
+    out = np.zeros((nrows, _SIMHASH_BANDS), dtype=np.uint64)
     empty = np.empty(0, dtype=np.int64)
     # null/empty token arrays → all-zero fingerprint (0*2 > 0 is
     # false for every bit, same as the expression form)
-    arrs_lo = [
-        np.asarray(x, dtype=np.int64) if x is not None else empty
-        for x in hlo
+    fam_arrs = [
+        [
+            np.asarray(x, dtype=np.int64) if x is not None else empty
+            for x in fam
+        ]
+        for fam in families
     ]
-    arrs_hi = [
-        np.asarray(x, dtype=np.int64) if x is not None else empty
-        for x in hhi
-    ]
-    lens = np.fromiter((len(x) for x in arrs_lo), np.int64, count=nrows)
+    lens = np.fromiter((len(x) for x in fam_arrs[0]), np.int64, count=nrows)
     nz = lens > 0
     if not nz.any():
-        return pd.DataFrame(out, columns=cols)
+        return out.view(np.int64)
     # row-start offsets into the flattened hash stream, compacted
     # to NON-EMPTY rows only: reduceat demands every index be a
     # valid position (a trailing empty row's offset == len(flat)
@@ -1273,7 +1268,7 @@ def _simhash_sign_sum(hlo: pd.Series, hhi: pd.Series) -> pd.DataFrame:
     np.cumsum(lens[:-1], out=offs[1:])
     offs_nz = offs[nz]
     half = lens[nz]
-    for wsel, arrs in ((0, arrs_lo), (1, arrs_hi)):
+    for wsel, arrs in enumerate(fam_arrs):
         # int64 → uint64 view: logical (not sign-extending) shifts
         flat = np.concatenate(arrs).view(np.uint64)
         for b in range(64):
@@ -1281,12 +1276,11 @@ def _simhash_sign_sum(hlo: pd.Series, hhi: pd.Series) -> pd.DataFrame:
                 np.int64
             )
             ones = np.add.reduceat(bits, offs_nz)
-            g = wsel * 64 + b  # global bit position
-            j, i = divmod(g, _SIMHASH_BAND_WIDTH)
+            j, i = divmod(wsel * 64 + b, band_width)
             sel = np.zeros(nrows, dtype=bool)
             sel[nz] = (2 * ones) > half  # strict majority
-            out[sel, j] |= 1 << i
-    return pd.DataFrame(out, columns=cols)
+            out[sel, j] |= np.uint64(1) << np.uint64(i)
+    return out.view(np.int64)
 
 
 def simhash_band_pairs(

@@ -19,8 +19,6 @@ to the same buckets.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -242,15 +240,11 @@ def n_planes_for(n: int) -> int:
     on planted threshold-class pairs in tests/test_northstar.py
     (per-bit collision 1−θ/π = 0.856 → 1−(1−0.856⁸)¹⁶ ≈ 0.996).
 
-    SPARK_GRAFT_LSH_FORCE_PLANES is a MEASUREMENT override for scale
-    probes only (the fixed-geometry control arm — e.g. pinning 8
-    planes across a decade to show the quadratic the adaptive rule
-    removes); production paths never set it."""
+    Fixed-geometry control measurements (the quadratic this rule
+    removes) pass an explicit width to `bucketed_all_tables` instead
+    of overriding this function — see tools/lsh_candidate_audit.py."""
     import math
 
-    forced = os.environ.get("SPARK_GRAFT_LSH_FORCE_PLANES")
-    if forced:
-        return int(forced)
     need = math.ceil(math.log2(max(1.0, n / _TARGET_BUCKET)))
     return min(_MAX_PLANES, max(_N_PLANES, need))
 

@@ -449,7 +449,7 @@ def test_simhash_hamming_bounds(spark, sf_dir):
 
 def test_simhash_wide_geometry_bit_exact(spark, sf_dir):
     """The 256-bit / 4×64-band geometry (engaged by
-    _simhash_band_bits_for above ~567k docs) FORCED at fixture scale
+    _simhash_band_bits_for above ~4.6M docs) FORCED at fixture scale
     and held to the same bar as the 128-bit path: bit-exact equality
     with a pure-Python sign-sum over the collected token hashes (the
     r11 anti-degeneracy lesson — self-consistency checks pass on a
