@@ -233,9 +233,16 @@ def n_planes_for(n: int) -> int:
     at 1/10/100×, exponent 1.94 — the r10 simhash saturation class);
     at 100× (50k vectors) this returns 8 planes (256 buckets/table,
     ~195 occupancy) and the same probe measures 186.7 s / exponent
-    1.22 — candidate volume is n·occupancy·tables/2, linear in n once
-    occupancy pins at the target (the residual over-1 exponent is the
-    5→8-plane transition inside the measured decade). Recall
+    1.22. The r13 candidate-volume audit decomposed that residual
+    over-1: measured candidates/vector are 1352 → 1866 → 2715 across
+    10×/100×/1000× (exponent ≈1.15), and the excess over the uniform
+    n·target·tables/2 model is bucket-occupancy SKEW
+    (E[occ²]/E[occ]² ≈ 1.36 at 1000×, occ_max ~6× avg) plus
+    ceil-width quantization — NOT only the width transition as first
+    argued (tools/lsh_candidate_audit.py, SCALE.md r13). Practical
+    consequence: a corpus whose embeddings cluster hard raises the
+    skew factor — reach for more tables at a narrower target (or
+    per-bucket caps) rather than one wider code. Recall
     for 0.9-cosine near-dups at 8 planes is gated (not just computed)
     on planted threshold-class pairs in tests/test_northstar.py
     (per-bit collision 1−θ/π = 0.856 → 1−(1−0.856⁸)¹⁶ ≈ 0.996).
