@@ -4,6 +4,8 @@ multimodal plumbing determinism."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
@@ -143,6 +145,42 @@ def test_table_rows_matches_scan_count(spark, sf_dir):
         assert table_rows(spark, sf_dir, name) == load_table(
             spark, sf_dir, name
         ).count(), name
+
+
+def test_table_rows_skips_what_spark_skips(spark, tmp_path):
+    """Directory layouts: footer counting must ignore the paths Spark's
+    scan ignores (_temporary job attempts, _SUCCESS, dotfiles) or a
+    crashed write would silently widen the LSH codes past what the
+    scan justifies (r13 review finding). Builds a directory-shaped
+    `documents` table with a stale _temporary attempt file and checks
+    footer count == scan count."""
+    import shutil
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        table_path,
+        table_rows,
+    )
+
+    sf = str(tmp_path)
+    d = os.path.join(sf, "documents.parquet")
+    spark.range(10).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang",
+        "'t' AS source", "1 AS n_chars"
+    ).write.parquet(d)
+    # plant the debris a crashed Spark write leaves behind
+    part = next(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    tmp_attempt = os.path.join(d, "_temporary", "0", "attempt_0")
+    os.makedirs(tmp_attempt)
+    shutil.copyfile(
+        os.path.join(d, part), os.path.join(tmp_attempt, part)
+    )
+    shutil.copyfile(os.path.join(d, part), os.path.join(d, "." + part))
+    assert table_path(sf, "documents") == d
+    scan = spark.read.parquet(d).count()
+    assert scan == 10
+    assert table_rows(spark, sf, "documents") == scan
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
