@@ -1508,3 +1508,69 @@ def test_pq_codes_match_python_reference(spark, sf_dir):
             assert abs(d2_got - d2[i][sample.index(want_k)]) < 1e-9
             n_checked += 1
     assert n_checked == len(ids) * _PQ_M
+
+
+def test_sign_sum_bands_edge_cases_both_widths():
+    """The shared sign-sum core (r13 refactor) against a literal
+    pure-Python majority vote on CONSTRUCTED inputs the fixture never
+    exercises: None rows, empty rows (leading/trailing/interior — the
+    reduceat offset quirks its comments warn about), single-token
+    rows, and hashes with the int64 sign bit set. Both band widths."""
+    import numpy as np
+    import pandas as pd
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _SIMHASH_BANDS,
+        _sign_sum_bands,
+    )
+
+    rows = [
+        None,                                   # null token array
+        [],                                     # leading empty
+        [2**63 - 1],                            # max positive
+        [-(2**63), -1, 5],                      # sign bit + all-ones
+        [],                                     # interior empty
+        [7, 7, 7],                              # repeated values
+        [0],                                    # zero hash
+        [1, 2, 4, 8, 16],
+        [],                                     # trailing empty
+    ]
+    rng = np.random.RandomState(7)
+    n_fam = 4
+    fams = []
+    for f in range(n_fam):
+        fam = []
+        for r in rows:
+            if r is None:
+                fam.append(None)
+            else:
+                # vary per family deterministically, keep lengths equal
+                fam.append([
+                    int(rng.randint(-(2**62), 2**62)) if f > 0 else v
+                    for v in r
+                ])
+        fams.append(pd.Series(fam, dtype=object))
+
+    def reference(families, band_width):
+        nrows = len(families[0])
+        out = [[0] * _SIMHASH_BANDS for _ in range(nrows)]
+        for row_i in range(nrows):
+            arrs = [fam[row_i] for fam in families]
+            if arrs[0] is None or len(arrs[0]) == 0:
+                continue
+            n = len(arrs[0])
+            for wsel, arr in enumerate(arrs):
+                for b in range(64):
+                    ones = sum(1 for h in arr if (h >> b) & 1)
+                    if 2 * ones > n:
+                        j, i = divmod(wsel * 64 + b, band_width)
+                        out[row_i][j] |= 1 << i
+        # int64 two's-complement like the uint64→int64 view
+        return [
+            [w - 2**64 if w >= 2**63 else w for w in row] for row in out
+        ]
+
+    for families, width in ((fams[:2], 32), (fams, 64)):
+        got = _sign_sum_bands(tuple(families), width)
+        want = reference(families, width)
+        assert got.tolist() == want, width
