@@ -148,10 +148,14 @@ def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     if os.path.isdir(path):
         for root, dirs, names in os.walk(path):
             dirs[:] = [d for d in dirs if not _hidden(d)]
+            # every non-hidden file, not just *.parquet: Spark's scan
+            # reads extension-less part files too, and skipping them
+            # here would size the geometry for a smaller corpus than
+            # the plan scans (r13 review). A non-parquet stray makes
+            # pyarrow raise below → honest count() fallback, the same
+            # behavior the scan's own error path gives.
             files.extend(
-                os.path.join(root, f)
-                for f in names
-                if f.endswith(".parquet") and not _hidden(f)
+                os.path.join(root, f) for f in names if not _hidden(f)
             )
     elif os.path.exists(path):
         files.append(path)

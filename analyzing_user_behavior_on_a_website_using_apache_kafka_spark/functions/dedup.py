@@ -1173,6 +1173,11 @@ def simhash_fingerprints(
         band_bits = _simhash_band_bits_for(
             table_rows(spark, sf_dir, "documents")
         )
+    if band_bits not in (32, 64):
+        # fail loudly: silently mapping e.g. 16 onto the narrow UDF
+        # would label a control measurement with a width it was never
+        # computed at (r13 review)
+        raise ValueError(f"band_bits must be 32 or 64, got {band_bits!r}")
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
     # independent 64-bit hash families cover the bit positions: two for

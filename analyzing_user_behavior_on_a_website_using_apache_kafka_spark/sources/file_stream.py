@@ -69,6 +69,7 @@ def run_stream(
     stream_df: DataFrame,
     output_mode: str,
     timeout_sec: float = 300,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
     through a foreachBatch→parquet sink; return the sink directory read
@@ -113,7 +114,13 @@ def run_stream(
 
     def one_run():
         name = f"sink_{uuid.uuid4().hex[:12]}"
-        checkpoint = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
+        # checkpoint_dir: caller-supplied path RETAINED after the run
+        # (state-introspection tests and tools/state_probe.py read the
+        # stores back through the statestore source). Default: a fresh
+        # throwaway path, deleted on success as before.
+        checkpoint = checkpoint_dir or os.path.join(
+            tempfile.gettempdir(), "aub_ckpt", name
+        )
         out_dir = os.path.join(
             tempfile.gettempdir(), "aub_streamsink", name
         )
@@ -149,11 +156,13 @@ def run_stream(
         # the checkpoint (RocksDB state + offset log) exists only to
         # resume THIS run, and every run gets a fresh one — drop it so
         # a long driver session's dozens of streaming verifications
-        # don't accumulate state dirs in /tmp. The SINK dir must stay:
-        # the returned DataFrame reads it lazily.
-        import shutil
+        # don't accumulate state dirs in /tmp — UNLESS the caller
+        # supplied the path (retention is then the point). The SINK
+        # dir must stay: the returned DataFrame reads it lazily.
+        if checkpoint_dir is None:
+            import shutil
 
-        shutil.rmtree(checkpoint, ignore_errors=True)
+            shutil.rmtree(checkpoint, ignore_errors=True)
         if not any(
             f.endswith(".parquet")
             for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
@@ -173,6 +182,12 @@ def run_stream(
     try:
         return one_run()
     except Exception as exc:
+        if checkpoint_dir is not None:
+            # a retained checkpoint may hold committed batches; a
+            # retry would RESUME it into a fresh empty sink and return
+            # rows missing everything already committed — the caller
+            # owns recovery for checkpoints it owns
+            raise
         msg = str(exc)
         transient = any(
             marker in msg

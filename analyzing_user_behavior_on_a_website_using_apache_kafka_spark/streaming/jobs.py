@@ -228,6 +228,49 @@ def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(agg, "complete")
 
 
+def click_purchase_join_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """The click→purchase interval-join STREAMING plan, shared by the
+    registered queries below, the state-introspection tests, and
+    tools/state_probe.py (one copy of the plan all three measure —
+    r13 review: three hand copies had started to drift-risk).
+    `delay` is the watermark on both sides — the state-retention knob
+    the introspection tests turn."""
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", delay)
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        how,
+    )
+    return joined.select("click_id", "purchase_id")
+
+
 @query(
     "q_stream_stream_join",
     oracle="""
@@ -248,38 +291,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join condition includes the time-range bound, so Spark derives a
     state-retention horizon per side: a buffered click is dropped once
     the purchase watermark passes click_ts + 30 min — state is bounded
-    by (rate × window), NOT by stream length. Output is append (matches
+    by (rate × window), NOT by stream length (measured directly since
+    r13: tools/state_probe.py reads the retained store rows through the
+    statestore source at 1×/10×/100× event rate — exponent 1.00,
+    SCALE.md). Output is append (matches
     emit exactly once); the batch oracle is the identical interval join,
     which the single-batch AvailableNow run reproduces exactly.
     """
-    clicks = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts "
-            "AND p_ts <= c_ts + interval 30 minutes"
-        ),
-    )
-    return run_stream(joined.select("click_id", "purchase_id"), "append")
+    return run_stream(click_purchase_join_plan(spark, sf_dir), "append")
 
 
 @query(
@@ -323,35 +342,9 @@ def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emission rule verified empirically: strictly-less-than the final
     watermark). State bound is identical to the inner variant.
     """
-    clicks = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
+    return run_stream(
+        click_purchase_join_plan(spark, sf_dir, how="leftOuter"), "append"
     )
-    purchases = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts "
-            "AND p_ts <= c_ts + interval 30 minutes"
-        ),
-        "leftOuter",
-    )
-    return run_stream(joined.select("click_id", "purchase_id"), "append")
 
 
 @query(

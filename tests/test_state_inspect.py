@@ -16,6 +16,7 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog impor
     load_table,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
+    run_stream,
     stream_table,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.state_inspect import (
@@ -31,25 +32,16 @@ def agg_checkpoint(spark, sf_dir):
     """A finished complete-mode tumbling aggregate with its checkpoint
     RETAINED (run_stream deletes checkpoints after success, so this
     builds its own writer — retention is the point here)."""
-    name = f"inspect_{uuid.uuid4().hex[:10]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
-    sink = os.path.join(tempfile.gettempdir(), "aub_streamsink", name)
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "aub_ckpt",
+        f"inspect_{uuid.uuid4().hex[:10]}",
+    )
     agg = (
         stream_table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("overwrite").parquet(sink)
-        )
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(300)
-    assert q.exception() is None
+    run_stream(agg, "complete", checkpoint_dir=ckpt)
     return ckpt
 
 
@@ -100,52 +92,25 @@ def test_state_readable_at_explicit_batch_version(spark, agg_checkpoint):
 
 
 def _run_click_purchase_join(spark, sf_dir, delay: str) -> str:
-    """q_stream_stream_join's plan (click→purchase attribution, both
-    sides streams) run to completion with its checkpoint RETAINED;
-    returns the checkpoint path. `delay` is the watermark delay on both
-    sides — the knob that decides how much join state survives."""
-    name = f"inspect_ssj_{uuid.uuid4().hex[:10]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
-    sink = os.path.join(tempfile.gettempdir(), "aub_streamsink", name)
-    clicks = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", delay)
+    """The SHARED click→purchase join plan
+    (streaming.jobs.click_purchase_join_plan — the exact plan
+    q_stream_stream_join serves) run through the standard run_stream
+    harness with a caller-owned, RETAINED checkpoint; returns the
+    checkpoint path. `delay` is the watermark delay on both sides —
+    the knob that decides how much join state survives."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.jobs import (
+        click_purchase_join_plan,
     )
-    purchases = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", delay)
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "aub_ckpt",
+        f"inspect_ssj_{uuid.uuid4().hex[:10]}",
     )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts "
-            "AND p_ts <= c_ts + interval 30 minutes"
-        ),
+    run_stream(
+        click_purchase_join_plan(spark, sf_dir, delay),
+        "append",
+        checkpoint_dir=ckpt,
     )
-    q = (
-        joined.select("click_id", "purchase_id")
-        .writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("append").parquet(sink)
-        )
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(300)
-    assert q.exception() is None
     return ckpt
 
 
@@ -271,25 +236,16 @@ def test_session_window_state_one_row_per_session(spark, sf_dir):
     same session count, same per-session event counts. This is the
     production diagnosis path for 'why is this job's RocksDB growing'
     — the answer is countable sessions, not a black box."""
-    name = f"inspect_sess_{uuid.uuid4().hex[:10]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
-    sink = os.path.join(tempfile.gettempdir(), "aub_streamsink", name)
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "aub_ckpt",
+        f"inspect_sess_{uuid.uuid4().hex[:10]}",
+    )
     agg = (
         stream_table(spark, sf_dir, "events")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("overwrite").parquet(sink)
-        )
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(300)
-    assert q.exception() is None
+    out = run_stream(agg, "complete", checkpoint_dir=ckpt)
 
     meta = {m.operatorName: m for m in state_metadata(spark, ckpt).collect()}
     assert "sessionWindowStateStoreSaveExec" in meta, meta.keys()
@@ -305,9 +261,7 @@ def test_session_window_state_one_row_per_session(spark, sf_dir):
     }
     want = {
         (r.user_id, r.w.start, r.n_events)
-        for r in spark.read.parquet(sink)
-        .select("user_id", "w", "n_events")
-        .collect()
+        for r in out.select("user_id", "w", "n_events").collect()
     }
     assert got == want
     assert len(got) > 100  # the fixture really is multi-session
@@ -326,7 +280,6 @@ def test_state_diff_attributes_growth_between_batches(spark, sf_dir):
     name = f"inspect_diff_{uuid.uuid4().hex[:10]}"
     src = os.path.join(tempfile.gettempdir(), "aub_diffsrc", name)
     ckpt = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
-    sink = os.path.join(tempfile.gettempdir(), "aub_streamsink", name)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type"
     )
@@ -346,17 +299,7 @@ def test_state_diff_attributes_growth_between_batches(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q = (
-        agg.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("overwrite").parquet(sink)
-        )
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(300)
-    assert q.exception() is None
+    run_stream(agg, "complete", checkpoint_dir=ckpt)
 
     meta = state_metadata(spark, ckpt).collect()[0]
     assert meta.maxBatchId >= 1, "need two batch versions to diff"

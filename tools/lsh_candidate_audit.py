@@ -60,8 +60,13 @@ def audit(spark, sf_dir: str, n_planes: int) -> dict:
         F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
         F.max("count").alias("occ_max"),
         (F.sum("count") / F.countDistinct("tbl", "bucket")).alias("occ_avg"),
+        F.sum("count").alias("total_rows"),
     ).collect()[0]
-    n = v.count()
+    # corpus size for free from the aggregate already computed (every
+    # vector lands in exactly one bucket per table) — no second scan
+    # (r13 review: the audit was re-paying the eager count this change
+    # removed from the query constructors)
+    n = int(row.total_rows) // _N_TABLES
     return {
         "n": n,
         "planes": n_planes,
@@ -84,11 +89,14 @@ def main() -> None:
         "| control width | control cand/vec |"
     )
     print("|---|---|---|---|---|---|---|---|")
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
+        table_rows,
+    )
+
     for k in sorted(ks):
-        n = spark.read.parquet(
-            os.path.join(dirs[k], "embeddings.parquet")
-        ).count()
-        w = n_planes_for(n)
+        # footer read, not a scan — the same statistic the width rule
+        # itself consumes
+        w = n_planes_for(table_rows(spark, dirs[k], "embeddings"))
         if pinned is None:
             pinned = w
         a = audit(spark, dirs[k], w)

@@ -39,7 +39,11 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session impor
     get_spark,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.sources.file_stream import (
+    run_stream,
     stream_table,
+)
+from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.jobs import (
+    click_purchase_join_plan,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.state_inspect import (
     partition_skew,
@@ -49,65 +53,24 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.streaming.sta
 from scale_probe import build_replica
 
 
-def _run_retained(stream_df, output_mode: str) -> str:
-    """Run to completion via foreachBatch→parquet with the checkpoint
-    RETAINED (run_stream deletes it; retention is this tool's point)."""
-    name = f"state_probe_{uuid.uuid4().hex[:10]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "aub_ckpt", name)
-    sink = os.path.join(tempfile.gettempdir(), "aub_streamsink", name)
-    spark = stream_df.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+def _retained_ckpt() -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "aub_ckpt",
+        f"state_probe_{uuid.uuid4().hex[:10]}",
     )
-    mode = "overwrite" if output_mode == "complete" else "append"
-    q = (
-        stream_df.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode(mode).parquet(sink)
-        )
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("state probe stream did not finish in 600s")
-    if q.exception() is not None:
-        raise q.exception()
-    return ckpt
 
 
 def join_checkpoint(spark, sf_dir: str) -> str:
-    clicks = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
+    """The SAME plan q_stream_stream_join serves (one shared builder —
+    r13 review), run through run_stream with a retained checkpoint."""
+    ckpt = _retained_ckpt()
+    run_stream(
+        click_purchase_join_plan(spark, sf_dir),
+        "append",
+        timeout_sec=600,
+        checkpoint_dir=ckpt,
     )
-    purchases = (
-        stream_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts "
-            "AND p_ts <= c_ts + interval 30 minutes"
-        ),
-    )
-    return _run_retained(joined.select("click_id", "purchase_id"), "append")
+    return ckpt
 
 
 def session_checkpoint(spark, sf_dir: str) -> str:
@@ -116,7 +79,9 @@ def session_checkpoint(spark, sf_dir: str) -> str:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _run_retained(agg, "complete")
+    ckpt = _retained_ckpt()
+    run_stream(agg, "complete", timeout_sec=600, checkpoint_dir=ckpt)
+    return ckpt
 
 
 def main() -> None:
