@@ -112,6 +112,13 @@ PROBES = {
     # would be a measurement artifact, not a property of the plan.
     "q_time_interpolate": "one agg to O(hours×types); grid+windows calendar-bounded",
     "q_join_dpp": "partitioned sink write + dim-driven pruned scan",
+    # r13: the multimodal family was the last with no measured
+    # exponent. Both keys synthesize a binary payload per document and
+    # run Arrow-batched mapInPandas over it — map-only by design, so
+    # the exponent should read ~1.0; a super-linear reading would mean
+    # the payload synthesis or batch shaping secretly aggregates.
+    "q_multimodal_features": "binary payload + mapInPandas feature extract, map-only",
+    "q_multimodal_framesample": "binary payload + mapInPandas frame sampling, map-only",
 }
 
 # Pair-join probe set (--pairs mode, VERDICT r6 item 8). These are
