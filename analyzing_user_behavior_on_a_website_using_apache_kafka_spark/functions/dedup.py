@@ -400,7 +400,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from an EQUI JOIN on exploded prefix tokens — a lossless
     blocking (the oracle is the exact all-pairs join), with no cross
     join and no quadratic per-block term keyed on a skewable attribute.
-    Exact Jaccard verifies candidates via JVM higher-order set ops.
+    Since r14 the PPJoin POSITIONAL filter prunes matched rows whose
+    token ranks already cap the overlap below the threshold (see
+    prefix_filtered_jaccard_join) — still lossless, fewer candidates
+    into the dedup shuffle. Exact Jaccard verifies survivors via JVM
+    higher-order set ops.
 
     100 TB notes: the token-frequency dictionary is vocabulary-sized →
     broadcast (hash-join it unhinted if the vocabulary outgrows the
@@ -501,12 +505,19 @@ def prefix_filtered_jaccard_join(
     # (doc_id, token).
     from pyspark import StorageLevel
 
+    # posexplode, not explode (r14): carrying the token's 1-based rank
+    # in the doc's globally-ordered token list costs one int per prefix
+    # row and enables the PPJoin positional filter below. Rank in the
+    # prefix == rank in the full sorted list, because the prefix IS its
+    # first p tokens.
     prefixes = ordered.select(
         "doc_id",
         F.size("wf").alias("nt"),
-        F.explode(
+        F.posexplode(
             F.slice(F.transform("wf", lambda s: s["token"]), F.lit(1), p)
-        ).alias("token"),
+        ).alias("pos0", "token"),
+    ).select(
+        "doc_id", "nt", (F.col("pos0") + 1).alias("pos"), "token"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # AllPairs length filter (lossless): J(A,B) ≥ t ⟹
     # |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so
@@ -517,13 +528,34 @@ def prefix_filtered_jaccard_join(
     len_ok = F.least(F.col("pa.nt"), F.col("pb.nt")) * F.lit(
         t.denominator
     ) >= F.lit(t.numerator) * F.greatest(F.col("pa.nt"), F.col("pb.nt"))
+    # PPJoin positional filter (Xiao et al., WWW'08; VERDICT r13 item
+    # 4): a common token at ranks (i, j) of the two globally-ordered
+    # token lists bounds the overlap — common tokens before it rank
+    # before it in BOTH lists (≤ min(i−1, j−1) of them), those after
+    # it rank after (≤ min(na−i, nb−j)) — so
+    #   |A∩B| ≤ min(i, j) + min(na−i, nb−j),
+    # while J ≥ t needs |A∩B|·(den+num) ≥ num·(na+nb) (the verify
+    # stage's exact integer form). Rows whose bound cannot reach the
+    # requirement are pruned BEFORE the dropDuplicates shuffle. The
+    # per-ROW filter stays lossless for the PAIR: the bound holds for
+    # EVERY common token, so a qualifying pair's matching rows all
+    # pass — no pair loses its last row. Measured on the sf0.1
+    # fixture: see SCALE.md r14 (candidate reduction with byte-
+    # identical output; the oracle is the exact all-pairs join).
+    overlap_ub = F.least(F.col("pa.pos"), F.col("pb.pos")) + F.least(
+        F.col("pa.nt") - F.col("pa.pos"), F.col("pb.nt") - F.col("pb.pos")
+    )
+    pos_ok = overlap_ub * F.lit(t.denominator + t.numerator) >= F.lit(
+        t.numerator
+    ) * (F.col("pa.nt") + F.col("pb.nt"))
     cand = (
         prefixes.alias("pa")
         .join(
             prefixes.alias("pb"),
             (F.col("pa.token") == F.col("pb.token"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            & len_ok,
+            & len_ok
+            & pos_ok,
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
