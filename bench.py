@@ -118,15 +118,22 @@ EXTENDED = [
     "q_stream_session",
 ]
 
-# ADVICE r12: _REPS_KEEP_CACHE's correctness for q_dedup_clusters
-# depends on jaccard directly preceding it (the memo it measures CC
-# over) with no evicting multi-rep key between them — assert the
-# ordering at module load so a future reorder fails loudly instead of
-# silently changing what the clusters median measures.
-assert (
-    EXTENDED.index("q_dedup_clusters")
-    == EXTENDED.index("q_dedup_ngram_jaccard") + 1
-), "q_dedup_clusters must directly follow q_dedup_ngram_jaccard (warm memo)"
+def _check_extended_order() -> None:
+    """ADVICE r12/r13: _REPS_KEEP_CACHE's correctness for
+    q_dedup_clusters depends on jaccard directly preceding it (the memo
+    it measures CC over) with no evicting multi-rep key between them.
+    An explicit RuntimeError (not a module-level ``assert``, which
+    ``python -O`` strips and which fired on every import of this module
+    from tools) — called from main() so the invariant guards exactly
+    the runs it protects."""
+    if (
+        EXTENDED.index("q_dedup_clusters")
+        != EXTENDED.index("q_dedup_ngram_jaccard") + 1
+    ):
+        raise RuntimeError(
+            "q_dedup_clusters must directly follow q_dedup_ngram_jaccard "
+            "(warm memo) — see _REPS_KEEP_CACHE"
+        )
 
 
 N_REPS = 3  # headline repetitions; reported value = median total
@@ -224,15 +231,19 @@ def emit(compact: dict, detail: dict) -> None:
 
 
 def main() -> None:
-    # 1-minute load average at bench START: this rig's walls read
+    _check_extended_order()
+    # Load averages at bench START (1/5/15 min): this rig's walls read
     # 1.5-2x high for minutes after any 32-thread run (suite, sweep,
-    # replica build — SCALE.md variance study), so the recorded number
-    # lets a reader judge whether a BENCH_r{N} draw was quiet-rig
-    # (≲0.5) or contended before comparing rounds.
+    # replica build — SCALE.md variance study), so the recorded numbers
+    # let a reader judge whether a BENCH_r{N} draw was quiet-rig
+    # (load1 ≲ 0.5) or contended before comparing rounds. load5/load15
+    # added r14 (VERDICT r13 item 3): a low load1 with elevated
+    # load5/15 is exactly the "big job just finished, page cache not
+    # settled" state that produced the adjudicated bad load-0.15 draw.
     try:
-        load1 = round(os.getloadavg()[0], 2)
+        load1, load5, load15 = (round(x, 2) for x in os.getloadavg())
     except OSError:  # platform without getloadavg
-        load1 = None
+        load1 = load5 = load15 = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -248,6 +259,25 @@ def main() -> None:
     spark.range(1000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
         _warm("id")
     ).count()
+    # SETTLE GATE (r14, VERDICT r13 item 3 — methodology v2): one
+    # UNTIMED pass of the full headline set before the timed reps, its
+    # total recorded as `warmup_total_sec`. Two jobs in one: (a) it
+    # absorbs the first-draw cold component (page cache, JIT, codegen
+    # compilation) that r12/r13 showed runs 2-4× even at load ~0.15
+    # when a previous 32-thread job's VM state hasn't settled, so the
+    # timed reps measure plans, not rig history; (b) its RATIO to the
+    # reported median is the contamination signal the BENCH file itself
+    # now carries — warmup ≫ 1.3× median means the draw started on a
+    # cold/contended rig, and a reader comparing rounds discounts
+    # accordingly (with load1/5/15 giving the ambient-load side).
+    # Headline medians read slightly LOWER than the v1 methodology
+    # (rep 1 previously absorbed the cold start and the median
+    # discarded it only when reps 2-3 agreed); SCALE.md r14 notes the
+    # version break for round-over-round comparisons.
+    t0 = time.time()
+    for name in HEADLINE:
+        _consume(qs[name](spark, sf_dir))
+    warmup_total = round(time.time() - t0, 3)
     # N_REPS repetitions of the whole headline set (VERDICT r4 item 3):
     # the rig shows multi-x single-query outliers under background load
     # (SCALE.md variance study), so a single-shot total is one bad
@@ -312,6 +342,13 @@ def main() -> None:
             "extended_total_sec": round(sum(extended.values()), 3),
             "sf": sf_val,
             "load_avg_start": load1,
+            "load_avg_5m": load5,
+            "load_avg_15m": load15,
+            # settle-gate fields (methodology v2, r14): the discarded
+            # warm-up pass total and its ratio to the reported median —
+            # >~1.3 flags a cold/contended start in the file itself
+            "warmup_total_sec": warmup_total,
+            "warmup_over_median": round(warmup_total / max(total, 1e-9), 2),
         },
         detail={
             "detail": "per_rep",
