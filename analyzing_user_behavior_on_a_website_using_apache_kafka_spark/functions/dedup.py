@@ -57,6 +57,30 @@ _N_HASHES = 32
 _N_BANDS = 8  # 8 bands × 4 rows — catches jaccard ≳ 0.5 pairs w.h.p.
 
 
+def minhash_chance_pairs(n: int) -> float:
+    """Expected CHANCE candidate pairs (distinct 4-minhash tuples whose
+    band keys nonetheless collide) for an n-doc corpus — the VERDICT
+    r13 item-5 audit of whether MinHash banding carries the same
+    fixed-width chance-collision fuse SimHash did.
+
+    It does not, and the arithmetic is structural: SimHash band keys
+    WERE fingerprint bit-slices (4×32 = 128 bits of signal split over
+    bands → 2³² keys per band, hence the r13 adaptive widening), while
+    MinHash band keys are `xxhash64` over the band's 4 minhash values —
+    a 64-BIT key space regardless of corpus size. Two docs with EQUAL
+    tuples colliding is the LSH signal itself (P = J⁴ per band — the
+    intended recall curve, false positives killed by the exact-jaccard
+    verify); the only chance term is an xxhash64 collision between
+    DISTINCT tuples: E = _N_BANDS · C(n,2) / 2⁶⁴ ≈ 4n²/2⁶⁴. At the
+    100 TB regime's ~2.5·10¹⁰ docs (4 KB/doc) that is ~135 pairs —
+    noise against millions of true near-dups, each still
+    verify-filtered. The tuple space itself (4 values < 2³¹ → 2¹²⁴)
+    never binds; 2⁶⁴ is the fuse, and it holds to ~10¹² docs (~216k
+    chance pairs, still ≪ verify volume) before any geometry change
+    would be warranted. Enforced by test_minhash_band_space_fuse."""
+    return _N_BANDS * n * (n - 1) / 2 / 2**64
+
+
 def _minhash_params() -> list[tuple[int, int]]:
     rng_state = 0x5EED
     params = []

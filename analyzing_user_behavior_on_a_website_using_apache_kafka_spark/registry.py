@@ -101,13 +101,16 @@ _PRIORITY: tuple[str, ...] = (
     # multi-probe expansion above the floor width (identity at fixture
     # scale).  Then the TEN r9-stale NEXT_WINDOW_LEADS declared last
     # round (staleness exactly 3 after r12 — MANDATORY leads here per
-    # the slip rule, VERDICT r12 item 2), then 37 of the 45
-    # r10-checked at-bound keys.  The proposer's overflow resolves by
-    # slipping EIGHT at-bound r10 keys (NEXT_WINDOW_LEADS below —
+    # the slip rule, VERDICT r12 item 2), then 36 of the 44
+    # r10-checked at-bound keys (ADVICE r13 flagged the old "37 of the
+    # 45" phrasing; recomputed r14 from the CORRECTNESS_r* files: 44
+    # keys had latest-check = r10 at composition time, 36 listed below
+    # entered, 8 slipped).  The proposer's overflow resolves by
+    # slipping those EIGHT at-bound r10 keys (NEXT_WINDOW_LEADS below —
     # staleness exactly 3 after r13, legal; all family-covered), which
-    # become MANDATORY r14 leads; q_stream_complete_agg is the
-    # family-coverage pin for the stream family (its other members all
-    # verified r12).  Projected schedule (standing guard:
+    # become MANDATORY r14 leads; q_stream_complete_agg (last checked
+    # r12, NOT at-bound) is the 50th slot — the family-coverage pin for
+    # the stream family, whose other members all verified r12.  Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
     #   r14 = the 8 slipped r10 keys + the r11-checked keys = 50;
     #   r15 = the r12-checked keys; disjoint steady state after.
@@ -252,8 +255,10 @@ def _ensure_loaded() -> None:
     # likewise still absent from the bundled jars):
     #   python -c "import google.protobuf"
     #     -> ModuleNotFoundError: No module named 'google'
-    #   (grpc likewise absent) — still blocked. Revisit each round;
-    # the applyInPandasWithState operator above covers the
-    # arbitrary-state semantics meanwhile.
+    #   (grpc likewise absent) — still blocked. Re-probed r14
+    # (2026-08-16): google.protobuf, grpc and PIL all still
+    # ModuleNotFoundError; pyspark/jars still has no kafka connector.
+    # Revisit each round; the applyInPandasWithState operator above
+    # covers the arbitrary-state semantics meanwhile.
 
     _LOADED = True

@@ -127,25 +127,33 @@ def state_diff(
     Version availability is bounded by snapshot retention —
     `state_metadata` reports the readable [minBatchId, maxBatchId]
     window per store."""
+    # Presence is derived from per-side MARKER columns, not value
+    # nullness (ADVICE r13): a store row whose top-level value is
+    # legitimately NULL in one batch would otherwise be mislabeled
+    # added/removed, and struct `!=` returns NULL (dropping the row)
+    # when either side is NULL — eqNullSafe is the change test that
+    # treats NULL as a comparable state.
     a = read_state(
         spark, checkpoint, batch_id=batch_a,
         operator_id=operator_id, store_name=store_name,
-    ).select(F.col("key"), F.col("value").alias("value_a"))
+    ).select(F.col("key"), F.col("value").alias("value_a"), F.lit(True).alias("_in_a"))
     b = read_state(
         spark, checkpoint, batch_id=batch_b,
         operator_id=operator_id, store_name=store_name,
-    ).select(F.col("key"), F.col("value").alias("value_b"))
+    ).select(F.col("key"), F.col("value").alias("value_b"), F.lit(True).alias("_in_b"))
     joined = a.join(b, on="key", how="full_outer")
     return joined.select(
         "key",
-        F.when(F.col("value_a").isNull(), F.lit("added"))
-        .when(F.col("value_b").isNull(), F.lit("removed"))
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
         .otherwise(F.lit("updated"))
         .alias("change"),
         "value_a",
         "value_b",
+        "_in_a",
+        "_in_b",
     ).filter(
-        F.col("value_a").isNull()
-        | F.col("value_b").isNull()
-        | (F.col("value_a") != F.col("value_b"))
-    )
+        F.col("_in_a").isNull()
+        | F.col("_in_b").isNull()
+        | ~F.col("value_a").eqNullSafe(F.col("value_b"))
+    ).drop("_in_a", "_in_b")
