@@ -89,102 +89,38 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-13 window, from `python tools/propose_window.py --changed
-    # q_dedup_simhash,q_sim_ann,q_dedup_embed_cosine`.  Changed keys
-    # lead: q_dedup_simhash's fingerprint path gained the
-    # corpus-adaptive band geometry (4×32 → 4×64-bit bands above
-    # ~4.6M docs, functions/dedup.py — fixture-scale output is
-    # bit-identical, but the construction signature and width
-    # selection changed); q_sim_ann and q_dedup_embed_cosine now
-    # derive the LSH code width from parquet-footer row counts
-    # (catalog.table_rows) instead of an eager v.count(), and ANN adds
-    # multi-probe expansion above the floor width (identity at fixture
-    # scale).  Then the TEN r9-stale NEXT_WINDOW_LEADS declared last
-    # round (staleness exactly 3 after r12 — MANDATORY leads here per
-    # the slip rule, VERDICT r12 item 2), then 36 of the 44
-    # r10-checked at-bound keys (ADVICE r13 flagged the old "37 of the
-    # 45" phrasing; recomputed r14 from the CORRECTNESS_r* files: 44
-    # keys had latest-check = r10 at composition time, 36 listed below
-    # entered, 8 slipped).  The proposer's overflow resolves by
-    # slipping those EIGHT at-bound r10 keys (NEXT_WINDOW_LEADS below —
-    # staleness exactly 3 after r13, legal; all family-covered), which
-    # become MANDATORY r14 leads; q_stream_complete_agg (last checked
-    # r12, NOT at-bound) is the 50th slot — the family-coverage pin for
-    # the stream family, whose other members all verified r12.  Projected schedule (standing guard:
+    # Round-14 window, from `python tools/propose_window.py --changed
+    # q_sim_ann,q_dedup_embed_cosine,q_dedup_ngram_jaccard,q_dedup_clusters`.
+    # Changed keys lead: q_sim_ann and q_dedup_embed_cosine carry the
+    # r14 LSH geometry decision (occupancy target 250 -> 125,
+    # recall-derived table count n_tables_for, width-scaled probe
+    # radius, Gram-Schmidt-orthogonalized wide planes — fixture-scale
+    # output and oracles are bit-identical because width 5 / 16 tables
+    # / radius 0 still hold there, but the bucket construction and its
+    # slice changed); q_dedup_ngram_jaccard gained the PPJoin
+    # positional filter (lossless — oracle unchanged) and
+    # q_dedup_clusters consumes its pair memo, so both plans changed.
+    # Then the EIGHT r10-stale NEXT_WINDOW_LEADS declared last round
+    # (staleness exactly 3 after r13 — MANDATORY leads here per the
+    # slip rule, VERDICT r13 item 2), then 37 of the 45 r11-checked
+    # at-bound keys.  The proposer's overflow resolves by slipping
+    # EIGHT at-bound r11 keys (NEXT_WINDOW_LEADS below — staleness
+    # exactly 3 after r14, legal; all family-covered), which become
+    # MANDATORY r15 leads; q_stream_custom_state (last checked r12,
+    # NOT at-bound) is the 50th slot — the family-coverage pin for the
+    # stream family, whose other members all verified r12/r13.
+    # Projected schedule (standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r14 = the 8 slipped r10 keys + the r11-checked keys = 50;
-    #   r15 = the r12-checked keys; disjoint steady state after.
+    #   r15 = the 8 slipped r11 keys + the r12-checked keys;
+    #   r16 = the r13-checked keys; disjoint steady state holds.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
-    # --- changed this round (adaptive band geometry / footer-count
-    #     width rule + multi-probe) ---
-    "q_dedup_simhash",
+    # --- changed this round (LSH geometry decision + PPJoin filter) ---
     "q_sim_ann",
     "q_dedup_embed_cosine",
-    # --- past staleness bound (last r9; the r12 slip debt) ---
-    "q_cohort_retention",
-    "q_embed_normquant",
-    "q_event_attribution",
-    "q_event_transitions",
-    "q_text_pii_scrub",
-    "q_text_repetition",
-    "q_text_rollhash",
-    "q_text_tfidf",
-    "q_text_token_bpe",
-    "q_text_unigram_logprob",
-    # --- at staleness bound (last r10) ---
-    "q_agg_count_by",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_sum_avg",
-    "q_array_funcs",
-    "q_date_funcs",
-    "q_event_dwell",
-    "q_filter_eq",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_range",
-    "q_funnel_conversion",
-    "q_growth_accounting",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_salted",
-    "q_join_theta_range",
-    "q_multimodal_cols",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_sim_pq_adc",
-    "q_sink_append",
-    "q_sink_partitioned",
-    "q_source_csv",
-    "q_source_json",
-    "q_sql_report",
-    "q_text_tokens",
-    "q_text_vocab",
-    "q_udaf_grouped",
-    "q_udf_pandas",
-    "q_win_lag_lead",
-    # --- family pin (stream) ---
-    "q_stream_complete_agg",
-)
-
-
-# At-bound keys the window above could NOT fit (the proposer's rule-6
-# slips): they sit at staleness exactly 3 right now and MUST lead the
-# r14 rotation.  tools/rotation_check.py grants keys listed here a
-# one-round allowance (staleness == bound+1, never more), which
-# self-expires: if the next rotation fails to happen and another
-# round's results land, staleness hits bound+2 and the check goes red
-# for real.  Maintained together with _PRIORITY — the proposer prints
-# this tuple alongside the window
-# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
-# fails if a listed key is fresh, unregistered, or in-window).
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    # --- past staleness bound (last r10; the r13 slip debt) ---
     "q_intersect",
     "q_json_funcs",
     "q_math_funcs",
@@ -193,6 +129,68 @@ NEXT_WINDOW_LEADS: tuple[str, ...] = (
     "q_pipeline_curate",
     "q_pivot",
     "q_project_derive",
+    # --- at staleness bound (last r11) ---
+    "q_agg_approx_distinct",
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_agg_percentile",
+    "q_agg_share",
+    "q_dedup_editdist",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_substring",
+    "q_embed_pq",
+    "q_event_anomaly",
+    "q_event_rfm",
+    "q_except",
+    "q_filter_null",
+    "q_join_cross",
+    "q_join_semi",
+    "q_json_variant",
+    "q_map_funcs",
+    "q_multimodal_framedup",
+    "q_profile_columns",
+    "q_sample_temperature",
+    "q_sink_foreachbatch",
+    "q_sink_zorder",
+    "q_source_binaryfile",
+    "q_source_orc",
+    "q_source_xml",
+    "q_sql_join_having",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_text_langid",
+    "q_text_quality",
+    "q_udf_scalar",
+    "q_udtf_python",
+    "q_win_distribution",
+    "q_win_range_frame",
+    "q_win_rank",
+    "q_win_running",
+    # --- family pin (stream) ---
+    "q_stream_custom_state",
+)
+
+
+# At-bound keys the window above could NOT fit (the proposer's rule-6
+# slips): they sit at staleness exactly 3 right now and MUST lead the
+# r15 rotation.  tools/rotation_check.py grants keys listed here a
+# one-round allowance (staleness == bound+1, never more), which
+# self-expires: if the next rotation fails to happen and another
+# round's results land, staleness hits bound+2 and the check goes red
+# for real.  Maintained together with _PRIORITY — the proposer prints
+# this tuple alongside the window
+# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
+# fails if a listed key is fresh, unregistered, or in-window).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_scan_project",
+    "q_sessionize_batch",
+    "q_sort_limit",
+    "q_sort_multikey",
+    "q_split_train_test",
+    "q_str_funcs",
+    "q_subquery_scalar",
+    "q_time_interpolate",
 )
 
 
