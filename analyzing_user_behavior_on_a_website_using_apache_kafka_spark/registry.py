@@ -90,37 +90,35 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
     # Round-14 window, from `python tools/propose_window.py --changed
-    # q_sim_ann,q_dedup_embed_cosine,q_dedup_ngram_jaccard,q_dedup_clusters`.
-    # Changed keys lead: q_sim_ann and q_dedup_embed_cosine carry the
-    # r14 LSH geometry decision (occupancy target 250 -> 125,
-    # recall-derived table count n_tables_for, width-scaled probe
-    # radius, Gram-Schmidt-orthogonalized wide planes — fixture-scale
-    # output and oracles are bit-identical because width 5 / 16 tables
-    # / radius 0 still hold there, but the bucket construction and its
-    # slice changed); q_dedup_ngram_jaccard gained the PPJoin
-    # positional filter (lossless — oracle unchanged) and
-    # q_dedup_clusters consumes its pair memo, so both plans changed.
-    # Then the EIGHT r10-stale NEXT_WINDOW_LEADS declared last round
-    # (staleness exactly 3 after r13 — MANDATORY leads here per the
-    # slip rule, VERDICT r13 item 2), then 37 of the 45 r11-checked
-    # at-bound keys.  The proposer's overflow resolves by slipping
-    # EIGHT at-bound r11 keys (NEXT_WINDOW_LEADS below — staleness
-    # exactly 3 after r14, legal; all family-covered), which become
-    # MANDATORY r15 leads; q_stream_custom_state (last checked r12,
-    # NOT at-bound) is the 50th slot — the family-coverage pin for the
-    # stream family, whose other members all verified r12/r13.
-    # Projected schedule (standing guard:
-    # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead):
-    #   r15 = the 8 slipped r11 keys + the r12-checked keys;
-    #   r16 = the r13-checked keys; disjoint steady state holds.
+    # q_sim_ann,q_dedup_embed_cosine,q_dedup_ngram_jaccard,
+    # q_dedup_clusters,q_sim_ivf,q_dedup_semantic`.  SIX changed keys
+    # lead: q_sim_ann/q_dedup_embed_cosine carry the r14 LSH geometry
+    # decision (target 125, recall-derived table count, width-scaled
+    # probe radius, orthogonalized wide planes); q_dedup_ngram_jaccard
+    # gained the PPJoin positional filter (lossless) and
+    # q_dedup_clusters consumes its pair memo; q_sim_ivf/
+    # q_dedup_semantic got the corpus-adaptive cell count
+    # (similarity.ivf_cells_for — the family's last fixed geometry).
+    # Every changed key is fixture-plan-preserving (floors anchor the
+    # historical constants at fixture corpus sizes), oracles
+    # re-verified this session.  Then the EIGHT r10-stale
+    # NEXT_WINDOW_LEADS declared last round (MANDATORY per the slip
+    # rule, VERDICT r13 item 2), then 35 of the 45 r11-checked
+    # at-bound keys; TEN r11 keys slip to r15 (NEXT_WINDOW_LEADS
+    # below), and q_stream_custom_state (last checked r12, NOT
+    # at-bound) is the 50th slot — the stream-family coverage pin.
+    # Standing guard:
+    # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
-    # --- changed this round (LSH geometry decision + PPJoin filter) ---
+    # --- changed this round ---
     "q_sim_ann",
     "q_dedup_embed_cosine",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
-    # --- past staleness bound (last r10; the r13 slip debt) ---
+    "q_sim_ivf",
+    "q_dedup_semantic",
+    # --- past staleness bound (last r10) ---
     "q_intersect",
     "q_json_funcs",
     "q_math_funcs",
@@ -147,9 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_cross",
     "q_join_semi",
     "q_json_variant",
-    "q_map_funcs",
     "q_multimodal_framedup",
-    "q_profile_columns",
     "q_sample_temperature",
     "q_sink_foreachbatch",
     "q_sink_zorder",
@@ -183,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_map_funcs",
+    "q_profile_columns",
     "q_scan_project",
     "q_sessionize_batch",
     "q_sort_limit",

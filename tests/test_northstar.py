@@ -329,6 +329,102 @@ def test_table_rows_skips_what_spark_skips(spark, tmp_path):
     assert table_rows(spark, sf, "documents") == scan
 
 
+def test_ivf_geometry_rules_pin_the_r14_decision():
+    """The IVF/SemDeDup cell-count rule as executable arithmetic: the
+    similarity family's last FIXED geometry (k = 16 everywhere, which
+    left SemDeDup's within-cell scan Θ(n²/16) with 'k grows at 100 TB'
+    as prose) is now ⌈√(n/8)⌉ with the floor anchored exactly at the
+    2000-vector fixture, and nprobe = ⌈√k⌉ with its floor exactly the
+    historical 4 at k=16 — so every fixture-scale plan and LIMIT-16
+    oracle replays bit-for-bit."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+        ivf_cells_for,
+        ivf_nprobe_for,
+    )
+
+    for n in (500, 2000, 2048):
+        assert ivf_cells_for(n) == _IVF_K == 16
+    assert ivf_nprobe_for(ivf_cells_for(2000)) == _IVF_NPROBE == 4
+    assert ivf_cells_for(4000) == 23
+    assert ivf_cells_for(50_000) == 80
+    assert ivf_cells_for(500_000) == 250
+    assert ivf_nprobe_for(80) == 9
+    assert ivf_nprobe_for(250) == 16
+
+
+def test_ivf_planted_cluster_recall_at_wide_geometry(spark, sf_dir):
+    """IVF's domain claim, gated at the POST-FLOOR geometry: on
+    clusterable data a query's true nearest neighbor concentrates in
+    its √k probed cells. Planted 0.90–0.96-cosine twins (the same
+    corpus the LSH gates use) with k=80/nprobe=9 FORCED — the geometry
+    a 50k-vector corpus gets from ivf_cells_for — must route each twin
+    to a probe set containing its base vector's cell for ≥80% of
+    pairs. The fixture-scale q_sim_ivf gate (floor 0.3 on near-random
+    top-10) documents the uniform-data regime; this one pins the
+    clustered regime the adaptive rule is designed for."""
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _route_cells_matmul,
+        ivf_nprobe_for,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).collect()
+    rng = np.random.RandomState(13)
+    corpus_rows, twin_rows = [], []
+    for r in base:
+        v = np.asarray(r.emb, dtype=np.float64)
+        v /= np.linalg.norm(v)
+        eps = 0.33 + 0.15 * (r.vec_id % 7) / 6.0
+        noise = rng.randn(len(v))
+        noise -= noise.dot(v) * v
+        noise *= eps / np.linalg.norm(noise)
+        t = v + noise
+        corpus_rows.append((int(r.vec_id), [float(x) for x in v]))
+        twin_rows.append(
+            (int(r.vec_id) + 1_000_000, [float(x) for x in t])
+        )
+    corpus = spark.createDataFrame(
+        corpus_rows + twin_rows, "vec_id bigint, emb array<double>"
+    )
+    k = 80  # forced: the 50k-corpus geometry
+    nprobe = ivf_nprobe_for(k)
+    centroids = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
+    )
+    assigned = _route_cells_matmul(corpus, centroids, 1).select(
+        "vec_id", "cell"
+    )
+    base_cell = {
+        r.vec_id: r.cell
+        for r in assigned.filter(F.col("vec_id") < 1_000_000).collect()
+    }
+    twins = corpus.filter(F.col("vec_id") >= 1_000_000)
+    probed = (
+        _route_cells_matmul(twins, centroids, nprobe)
+        .groupBy("vec_id")
+        .agg(F.collect_set("cell").alias("cells"))
+        .collect()
+    )
+    hits = sum(
+        1
+        for r in probed
+        if base_cell[r.vec_id - 1_000_000] in r.cells
+    )
+    recall = hits / len(probed)
+    assert recall >= 0.8, (
+        f"planted-twin IVF routing recall {recall:.3f} at k={k}/"
+        f"nprobe={nprobe}"
+    )
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     qs = registry.all_queries()
     exact = {
