@@ -178,7 +178,10 @@ EMB_PAIR_PROBES = {
     "q_dedup_embed_cosine": "LSH bucket self-join + Arrow verify; "
                             "adaptive code width (n_planes_for) since "
                             "r12 — was FIXED 16x32 (exponent 1.94, "
-                            "1261 s at 100x; now 1.22, 187 s)",
+                            "1261 s at 100x; r13 geometry 1.22, 187 s; "
+                            "r14 geometry — target 125, recall-derived "
+                            "tables, orthogonalized planes — 1.01, "
+                            "80.5 s)",
     "q_sim_ann": "bucket probe, FIXED probe set (contrast: occupancy-"
                  "linear, not occupancy-quadratic)",
 }
