@@ -1650,7 +1650,8 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (0.996 at w=8 → 0.75 at w=16); growing tables at wide widths
     # holds candidate recall ≥0.98 at the class floor for a bounded
     # candidate budget T·target/2 per vector. 16 tables exactly
-    # through width 11, so every fixture-scale plan and oracle is
+    # through width 9 (17/20 at widths 10/11) — every fixture scale
+    # sits at the width-5 floor, so fixture plans and oracles are
     # unchanged.
     from ..catalog import table_rows
 
@@ -1939,7 +1940,11 @@ _SEM_K = 16  # coarse-cluster floor — the exact count at fixture scale;
 # the corpus-adaptive count is similarity.ivf_cells_for (r14: "SemDeDup
 # scales k with corpus size" was a comment for two rounds — now it is
 # the same enforced √(n/8) rule the IVF quantizer uses, which turns the
-# within-cell pair scan from Θ(n²/16) into Θ(n^1.5))
+# within-cell pair scan from Θ(n²/16) into Θ(n^1.5)).
+# COUPLING: the static oracle below hard-codes LIMIT _SEM_K while the
+# served query's floor is similarity._IVF_K inside ivf_cells_for — the
+# two must stay equal (asserted in tests/test_northstar.py's geometry
+# test); retune the floor in ONE place by changing both together.
 _SEM_TAU = 0.35  # within-cluster cosine threshold (fixture-calibrated)
 
 

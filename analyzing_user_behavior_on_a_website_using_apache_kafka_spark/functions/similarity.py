@@ -214,9 +214,13 @@ def q_embed_normquant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # occupancy stays bounded; recall degrades gracefully per the
 # (1-θ/π)^bits collision curve.
 _N_PLANES = 5  # floor — and the exact width at every fixture scale
-_N_TABLES = 16  # floor table count — and the exact count through width 11
+_N_TABLES = 16  # floor table count — and the exact count through width 9
+# (n_tables_for returns 17 at width 10, 20 at width 11 — fixture scales
+# all sit at the width-5 floor, where 16 is exact)
 _MAX_PLANES = 16  # widest code the bucket UDF precomputes
-_MAX_TABLES = 48  # widest table fan-out the bucket UDF precomputes
+_MAX_TABLES = 45  # widest table fan-out the bucket UDF precomputes
+# (= n_tables_for(_MAX_PLANES) — the maximum any width can demand;
+# asserted in tests/test_northstar.py)
 _TARGET_BUCKET = 125  # per-table occupancy ceiling before widening
 # Candidate-recall design target for the dedup self-join at the
 # 0.9-cosine class floor (per-bit collision p = 1 − arccos(0.9)/π ≈
@@ -230,22 +234,26 @@ def n_planes_for(n: int) -> int:
     2^planes buckets per table keep expected occupancy ≤ _TARGET_BUCKET,
     floored at _N_PLANES and capped at _MAX_PLANES.
 
-    IDENTICAL to the historical constant 5 for every n ≤ 8000 — which
-    covers sf0.001/sf0.01/sf0.1 (500/500/2000 vectors) and the 10×
-    probe replica (5000), so driver-scale bucket ids are bit-for-bit
-    the ones the static DuckDB oracles replay. The width engages above
-    that: the r12 sign-replica probe measured the FIXED 16×2⁵ space
-    going quadratic on the bucketed self-join (3.81 → 14.32 → 1261 s
-    at 1/10/100×, exponent 1.94 — the r10 simhash saturation class);
-    at 100× (50k vectors) this returns 8 planes (256 buckets/table,
-    ~195 occupancy) and the same probe measures 186.7 s / exponent
-    1.22. The r13 candidate-volume audit decomposed that residual
-    over-1: measured candidates/vector are 1352 → 1866 → 2715 across
-    10×/100×/1000× (exponent ≈1.15), and the excess over the uniform
-    n·target·tables/2 model is bucket-occupancy SKEW
-    (E[occ²]/E[occ]² ≈ 1.36 at 1000×, occ_max ~6× avg) plus
-    ceil-width quantization — NOT only the width transition as first
-    argued (tools/lsh_candidate_audit.py, SCALE.md r13). Practical
+    IDENTICAL to the historical constant 5 for every n ≤ 4000 — which
+    covers sf0.001/sf0.01/sf0.1 (500/500/2000 vectors), so
+    driver-scale bucket ids are bit-for-bit the ones the static DuckDB
+    oracles replay; since the r14 target halving the width engages
+    above 4000 (the 10× probe replica at 5000 vectors gets 6 planes,
+    the 100× replica at 50k gets 9 — pinned in
+    tests/test_northstar.py::test_lsh_geometry_tables_pin_the_r14_decision,
+    so r12/r13 probe baselines quoted below are NOT width-comparable
+    to r14 probe runs). History this rule encodes: the r12
+    sign-replica probe measured the FIXED 16×2⁵ space going quadratic
+    on the bucketed self-join (3.81 → 14.32 → 1261 s at 1/10/100×,
+    exponent 1.94 — the r10 simhash saturation class). The r13
+    candidate-volume audit (at target 250: 1352 → 1866 → 2715
+    cand/vec across 10×/100×/1000×, exponent ≈1.15) decomposed the
+    residual over-1 as bucket-occupancy SKEW (E[occ²]/E[occ]² ≈ 1.36
+    at 1000×) plus ceil-width quantization
+    (tools/lsh_candidate_audit.py, SCALE.md r13) — and r14 traced the
+    skew itself to plane-plane correlation and removed it (see
+    _coeff_matrix; audit now reads a constant ≈1.08 through 5M
+    vectors). Practical
     consequence: a corpus whose embeddings cluster hard raises the
     skew factor — reach for more tables at a narrower target (or
     per-bucket caps) rather than one wider code. Recall
@@ -379,8 +387,14 @@ def _coeff_matrix(dim: int):
     `simhash_bucket` for the planes both compute (p < _N_PLANES).
 
     Planes ≥ _N_PLANES are Gram-Schmidt ORTHOGONALIZED within their
-    table against every earlier plane (deterministic float64
-    arithmetic — every worker builds the identical matrix). Why: the
+    table against every earlier plane, with the projection dot
+    products computed as ORDER-FIXED sequential Python-float sums
+    rather than numpy/BLAS reductions — BLAS reduction order varies by
+    build (MKL vs OpenBLAS, SIMD width), and the pre-r14 matrix was
+    build-independent by construction (pure scalar _plane_coeff), an
+    invariant the self-join's two sides rely on for identical bucket
+    ids; the one-time cost is ~10⁶ scalar ops per process. Why
+    orthogonalize at all: the
     r13 candidate audit measured bucket-occupancy skew
     E[occ²]/E[occ]² ≈ 1.36–1.48 drifting UP with code width, and r14
     traced it to a closed form — two random hyperplanes at
@@ -406,14 +420,22 @@ def _coeff_matrix(dim: int):
             for p in range(_MAX_PLANES):
                 for d in range(dim):
                     m[d, t * _MAX_PLANES + p] = _plane_coeff(t, p, d)
+        def dot(a, b):  # order-fixed sequential sum — build-independent
+            acc = 0.0
+            for i in range(dim):
+                acc += float(a[i]) * float(b[i])
+            return acc
+
         for t in range(_MAX_TABLES):
             base = t * _MAX_PLANES
             for p in range(_N_PLANES, min(_MAX_PLANES, dim)):
-                v = m[:, base + p]
+                v = [float(x) for x in m[:, base + p]]
                 for q in range(p):
                     u = m[:, base + q]
-                    v = v - (v @ u) / (u @ u) * u
-                if np.linalg.norm(v) > 1e-9:  # never expected to fail
+                    coeff = dot(v, u) / dot(u, u)
+                    for i in range(dim):
+                        v[i] -= coeff * float(u[i])
+                if dot(v, v) > 1e-18:  # never expected to fail
                     m[:, base + p] = v
         _COEFF_CACHE[dim] = m
     return _COEFF_CACHE[dim]
@@ -429,7 +451,7 @@ def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     The pure-expression twin (`simhash_bucket`) runs higher-order
     `aggregate` lambdas per row, which Catalyst interprets rather than
     codegens — an order of magnitude slower. Here each Arrow batch does
-    a single (batch × dim) @ (dim × 768) product, takes signs, and
+    a single (batch × dim) @ (dim × 720) product, takes signs, and
     packs _MAX_PLANES bits per table (plane 0 = MSB, matching
     `bucket*2 + bit`). The UDF always emits the WIDEST geometry — all
     _MAX_TABLES tables at _MAX_PLANES bits; consumers slice down to

@@ -99,9 +99,11 @@ _PRIORITY: tuple[str, ...] = (
     # q_dedup_clusters consumes its pair memo; q_sim_ivf/
     # q_dedup_semantic got the corpus-adaptive cell count
     # (similarity.ivf_cells_for — the family's last fixed geometry).
-    # Every changed key is fixture-plan-preserving (floors anchor the
-    # historical constants at fixture corpus sizes), oracles
-    # re-verified this session.  Then the EIGHT r10-stale
+    # The four geometry keys are fixture-PLAN-preserving (floors anchor
+    # the historical constants at fixture corpus sizes); the jaccard
+    # pair's plan changed at every scale (posexplode + positional
+    # predicate) with fixture OUTPUT byte-identical (lossless filter).
+    # All six oracles re-verified this session, tuned + vanilla.  Then the EIGHT r10-stale
     # NEXT_WINDOW_LEADS declared last round (MANDATORY per the slip
     # rule, VERDICT r13 item 2), then 35 of the 45 r11-checked
     # at-bound keys; TEN r11 keys slip to r15 (NEXT_WINDOW_LEADS

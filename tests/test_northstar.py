@@ -176,7 +176,20 @@ def test_lsh_geometry_tables_pin_the_r14_decision():
         39,
         45,
     ]
-    assert n_tables_for(16) <= _MAX_TABLES
+    # the UDF's precomputed fan-out is exactly the maximum any width
+    # can demand — no dead tables in the hot Arrow matmul
+    assert _MAX_TABLES == n_tables_for(16)
+    # q_dedup_semantic's oracle hard-codes LIMIT _SEM_K while its
+    # served k floors at _IVF_K (via ivf_cells_for) — the two constants
+    # must stay equal or the fixture oracle silently diverges
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
+        _SEM_K,
+    )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _IVF_K,
+    )
+
+    assert _SEM_K == _IVF_K
     # the formula the table encodes: T ⌈-covers⌉ the recall target at
     # the 0.9-cosine class floor for every width
     p = 1 - math.acos(0.9) / math.pi
@@ -275,7 +288,13 @@ def test_ann_recall_gated_at_width_13(spark, sf_dir):
     assert recall_deep >= 0.6, (
         f"radius-2 recall {recall_deep:.2f} below floor at width 13"
     )
-    assert recall_deep > recall_shallow, (recall_deep, recall_shallow)
+    # >= not >: the radius-2 probe set is a strict SUPERSET of the
+    # radius-1 buckets, so deep recall can never be lower — but on a
+    # small fixture the extra buckets could in principle contribute no
+    # new exact-top-k member, and a strict > would flake on a benign
+    # fixture regeneration. The measured gap (0.3-class vs 0.9-class
+    # on the current fixture) is recorded in SCALE.md r14.
+    assert recall_deep >= recall_shallow, (recall_deep, recall_shallow)
 
 
 def test_table_rows_matches_scan_count(spark, sf_dir):
