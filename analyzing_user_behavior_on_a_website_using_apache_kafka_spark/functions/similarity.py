@@ -401,8 +401,12 @@ def _coeff_matrix(dim: int):
     correlation ρ make their sign-agreement events dependent, giving
     skew ≈ exp(C(w,2)·4/(π²·dim)) for raw gaussian-ish planes (1.52
     predicted at w=12, d=64; 1.482 measured — it was never data
-    clustering). Orthogonalizing the wide planes removes every pair
-    term involving a plane ≥ _N_PLANES: measured skew at w=12 drops
+    clustering). Orthogonalizing the wide planes removes the
+    wide-wide pair terms EXACTLY and reduces the raw-wide terms to
+    second order (not to zero: each wide plane is projected against
+    the raw floor planes first, but later wide-plane subtractions
+    reintroduce small raw components — measured residual raw-wide
+    correlations reach ~0.11, ADVICE r14): measured skew at w=12 drops
     1.482 → 1.089 and candidates/vector land within ~5% of the
     uniform budget (SCALE.md r14), while the per-bit collision law —
     and therefore every recall formula and gate — is unchanged
@@ -462,6 +466,14 @@ def _lsh_bucket_ids(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
     canonical matching holds across every caller (the r11 cache-census
     invariant). Equality of the two paths at the _N_PLANES width is
     asserted in tests/test_northstar.py.
+
+    Known, accepted overhead (ADVICE r14): always emitting the widest
+    geometry does a dim × (45·16 = 720) matmul per batch even when the
+    caller slices to the 16 × 5-bit floor — ~2.8× the map-side flops of
+    the pre-r14 dim × 256 product, paid at every scale. It buys ONE
+    canonical cached UDF object (cache-census invariant above) and is
+    map-side CPU only (never shuffle); the fixture-scale cost is in the
+    bench series, so a future narrow-UDF split would show its win there.
     """
     import numpy as np
     import pandas as pd
@@ -500,6 +512,22 @@ def bucketed_all_tables(
     """
     from ..serialization import pickle_module_by_value
 
+    # Loud guard (ADVICE r14): F.slice past the array end would
+    # SILENTLY return fewer tables than requested and degrade recall
+    # with no error; likewise shiftright past the precomputed width
+    # would emit garbage buckets. All production callers come through
+    # n_planes_for/n_tables_for (capped by construction) — this guards
+    # explicit-geometry callers (tools, tests).
+    if not 1 <= n_tables <= _MAX_TABLES:
+        raise ValueError(
+            f"n_tables={n_tables} outside [1, {_MAX_TABLES}] — the UDF "
+            f"precomputes exactly {_MAX_TABLES} tables (_MAX_TABLES)"
+        )
+    if not 1 <= n_planes <= _MAX_PLANES:
+        raise ValueError(
+            f"n_planes={n_planes} outside [1, {_MAX_PLANES}] — the UDF "
+            f"precomputes exactly {_MAX_PLANES}-bit codes (_MAX_PLANES)"
+        )
     pickle_module_by_value(__name__)
     return v.select(
         "vec_id", "emb", _lsh_bucket_ids("emb").alias("_bks")

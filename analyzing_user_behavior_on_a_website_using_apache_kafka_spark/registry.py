@@ -256,6 +256,8 @@ def _ensure_loaded() -> None:
     #   (grpc likewise absent) — still blocked. Re-probed r14
     # (2026-08-16): google.protobuf, grpc and PIL all still
     # ModuleNotFoundError; pyspark/jars still has no kafka connector.
+    # Re-probed r15 (2026-08-16): unchanged on all four (google.protobuf,
+    # grpc, PIL ModuleNotFoundError; no kafka jar in pyspark/jars).
     # Revisit each round; the applyInPandasWithState operator above
     # covers the arbitrary-state semantics meanwhile.
 

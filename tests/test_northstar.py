@@ -146,7 +146,8 @@ def test_lsh_geometry_tables_pin_the_r14_decision():
     vectors, and anything to 4000) at the 5-plane floor — static
     oracles replay unchanged; the table count holds 0.9-cosine dedup
     candidate recall ≥ 0.98 per n_tables_for's formula (exactly the
-    historical 16 through width 11, then growing); the ANN probe
+    historical 16 through width 9, then growing — 17 at width 10, 20
+    at width 11, as asserted below); the ANN probe
     radius deepens at width 12 where 1-bit flips fall through the 0.6
     union-recall floor. A change to any of these constants must
     consciously rewrite this test — and re-run the candidate audit +
