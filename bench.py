@@ -23,6 +23,15 @@ true pairs = 71% of all doc pairs at sf0.1 (SCALE.md) — so folding them
 into the headline total would swamp the round-over-round signal of the
 other 15 plans. Their wall-times land in "extended"/"extended_total_sec"
 of the same JSON line.
+
+Methodology v3 (r15, VERDICT r14 item 2): the extended set gets the
+same rig-proofing the headline set got in v2 — an UNTIMED warm-up pass
+(ratio reported as `warmup_ext_over_total`) plus median-of-3 for the
+four volatile keys BENCH_r14's dirty draw spiked (stream_session,
+simhash, semantic, vocab). Extended single-shot numbers read slightly
+LOWER than the v1/v2 series (the first-draw cold component is now
+absorbed by the warm-up instead of landing in the one recorded draw);
+SCALE.md r15 records the version break.
 """
 
 from __future__ import annotations
@@ -183,6 +192,20 @@ EXTENDED_REPS = {
     # the phantom regression had no median to correct it.
     "q_dedup_substring": 3,
     "q_text_decontaminate": 3,
+    # r15 (VERDICT r14 item 2): the four keys BENCH_r14's contaminated
+    # draw spiked 14–182% while the same-day quiet rig read them
+    # IMPROVING — all were single-shot, so the v2 settle gate could
+    # flag the dirty draw but nothing in the file corrected it.
+    # q_stream_session's wall is micro-batch orchestration with a
+    # documented 2.7× first-draw band (SCALE.md r13); each rep runs a
+    # fresh streaming query (new checkpoint/sink dirs), so a median is
+    # honest. Remaining single-shot keys (unigram_logprob,
+    # pack_sequences) stayed inside their bands even on the r14 dirty
+    # draw and are now additionally covered by the extended warm-up.
+    "q_stream_session": 3,
+    "q_dedup_simhash": 3,
+    "q_dedup_semantic": 3,
+    "q_text_vocab": 3,
 }
 
 # Multi-rep keys that must NOT evict between reps. q_dedup_clusters'
@@ -310,6 +333,30 @@ def main() -> None:
     # jaccard's reps each re-persist that memo, so the LAST rep leaves
     # it warm for clusters exactly as the old single-shot run did.
     extended_reps: dict[str, list[float]] = {}
+    # EXTENDED SETTLE GATE (r15, VERDICT r14 item 2 — methodology v3):
+    # the v2 warm-up covered only the headline set, so BENCH_r14's
+    # extended total read +28.6% on a rig whose own gate said the draw
+    # was dirty (warmup_over_median 2.04) while the quiet rig read
+    # −15%. One UNTIMED pass of the full extended set (same key order —
+    # the jaccard→clusters memo chain behaves exactly as a timed pass)
+    # absorbs the cold component for the extended plans too, and its
+    # ratio to the reported extended total (`warmup_ext_over_total`)
+    # gives the extended series its own in-file contamination signal.
+    # evict_caches after the pass puts the timed loop's starting cache
+    # state back to the v2 baseline (nothing persisted), so only the
+    # JVM/codegen/page-cache warmth — the rig-history component —
+    # carries over, exactly like the headline gate.
+    warmup_ext_total = 0.0
+    if not skip_ext:
+        from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
+            evict_caches,
+        )
+
+        t0 = time.time()
+        for name in EXTENDED:
+            _consume(qs[name](spark, sf_dir))
+        warmup_ext_total = round(time.time() - t0, 3)
+        evict_caches(spark)
     for name in [] if skip_ext else EXTENDED:
         n_reps = EXTENDED_REPS.get(name, 1)
         reps = []
@@ -349,6 +396,16 @@ def main() -> None:
             # >~1.3 flags a cold/contended start in the file itself
             "warmup_total_sec": warmup_total,
             "warmup_over_median": round(warmup_total / max(total, 1e-9), 2),
+            # extended settle-gate fields (methodology v3, r15): same
+            # contract for the extended series — ratio ≳1.3 means the
+            # extended numbers started cold/contended; compare with the
+            # quiet-rig close before reading a regression
+            "warmup_ext_total_sec": warmup_ext_total,
+            "warmup_ext_over_total": round(
+                warmup_ext_total / max(sum(extended.values()), 1e-9), 2
+            )
+            if extended
+            else None,
         },
         detail={
             "detail": "per_rep",
