@@ -593,6 +593,88 @@ def ann_probe_buckets(probes: DataFrame, n_planes: int) -> DataFrame:
     return probes.withColumn("bucket", F.explode(flips))
 
 
+# Per-reducer occupancy cap before a (tbl, bucket) cell is salt-split
+# in the dedup self-join (r15, VERDICT r14 item 3 — the last
+# narrated-not-enforced geometry rule made code, the width-r12 /
+# bands-r13 / cells-r14 playbook). Why 4× the occupancy target: the
+# r14 clustering-detector study (SCALE.md) measured max occupancy on a
+# RANDOM 500k corpus at 318 ≈ 2.5× target (ceil-width quantization can
+# put the mean near 2× right after a width step, and the skew tail
+# adds ~25%), so 4× stays strictly dormant on every uniform corpus —
+# zero overhead in the common case — while the PLANTED-CLUSTER corpus
+# from the same study (1000 clusters × 500 members, ~0.9 within-
+# cluster cosine) peaked at 819 = 6.6× target and splits into two.
+_SALT_MAX_OCC = 4 * _TARGET_BUCKET
+
+
+def salt_splits_for(occ: int) -> int:
+    """Salt-group count for a bucket of occupancy `occ`: ⌈occ /
+    _SALT_MAX_OCC⌉, floored at 1 — the pure-Python twin of the column
+    expression in `salted_half_pairs` (consistency is test-pinned)."""
+    return max(1, -(-occ // _SALT_MAX_OCC))
+
+
+def salted_half_pairs(
+    bucketed: DataFrame, id_col: str = "vec_id", max_occ: int = None
+) -> DataFrame:
+    """Candidate half-pairs (a < b co-bucketed in some table) with hot
+    (tbl, bucket) cells SALT-SPLIT so no reducer's pair work exceeds
+    ~occ × _SALT_MAX_OCC (r15, VERDICT r14 item 3).
+
+    The plain self-join shuffles both sides on (tbl, bucket): one
+    clustered-corpus cell of occupancy m lands m² candidate work on ONE
+    reducer — at the r14 detector study's planted corpus that is
+    bounded (occ 819), but a production embedding corpus with a
+    mega-cluster is exactly the straggler the skew column warns about.
+    Lossless split: each cell of occupancy m gets s = ⌈m/cap⌉ salt
+    groups; the LEFT side keeps one deterministic group per row
+    (xxhash64(id) mod s), the RIGHT side replicates each row into all s
+    groups, and the join adds _salt to the equi key — pair (a, b) with
+    a < b matches exactly where b's replica meets a's group, so the
+    OUTPUT IS IDENTICAL to the unsalted join at every scale (the static
+    DuckDB oracle replays regardless of whether the cap engaged; a
+    planted-cluster equality test pins it). Costs, by construction:
+    per-reducer pair work falls m² → m·cap; right-side replication adds
+    m²/cap rows — asymptotically FREE relative to the m²/2 candidate
+    pairs the cell emits anyway. Occupancy comes from a broadcast
+    count: the counts frame is ≤ n_tables · 2^n_planes ≤ 45·2¹⁶ ≈ 2.9M
+    rows (~47 MB) at the width cap — bounded by the same construction
+    as the IVF centroid broadcast, and KBs at any fixture scale, where
+    the cap is provably dormant (fixture max occupancy ≈ 2× target;
+    test-pinned) so s = 1 everywhere and the join degenerates to the
+    historical plan plus two broadcast hash joins.
+    """
+    cap = _SALT_MAX_OCC if max_occ is None else max_occ
+    counts = bucketed.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    wb = bucketed.select(id_col, "tbl", "bucket").join(
+        F.broadcast(counts), ["tbl", "bucket"]
+    ).withColumn(
+        "_s", F.ceil(F.col("_occ") / F.lit(cap)).cast("int")
+    )
+    left = wb.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
+    )
+    right = wb.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+    )
+    return (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id"),
+            F.col(f"b.{id_col}").alias("nn_id"),
+        )
+    )
+
+
 # --- ANN: IVF (inverted-file) variant ---------------------------------------
 
 _IVF_K = 16  # coarse-centroid floor — and the exact count at fixture scale

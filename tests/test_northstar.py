@@ -1013,6 +1013,141 @@ def test_embed_neardup_recall_gated_at_width_13_with_grown_tables(
     )
 
 
+def test_salt_splits_rule_arithmetic():
+    """The per-bucket salting cap as executable arithmetic (r15,
+    VERDICT r14 item 3): dormant (s=1) through exactly 4× the
+    occupancy target, then ⌈occ/cap⌉ groups — so per-reducer pair work
+    is bounded by occ·cap instead of occ². A change to _SALT_MAX_OCC
+    must consciously rewrite this test and re-check the dormancy
+    measurements (random-corpus max occ 318 < cap at 500k, planted-
+    cluster 819 > cap — SCALE.md r14/r15)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _SALT_MAX_OCC,
+        _TARGET_BUCKET,
+        salt_splits_for,
+    )
+
+    assert _SALT_MAX_OCC == 4 * _TARGET_BUCKET == 500
+    assert salt_splits_for(1) == 1
+    assert salt_splits_for(_SALT_MAX_OCC) == 1
+    assert salt_splits_for(_SALT_MAX_OCC + 1) == 2
+    assert salt_splits_for(819) == 2  # the planted-cluster study's peak
+    assert salt_splits_for(10 * _SALT_MAX_OCC) == 10
+    # the formula the column expression implements
+    import math
+
+    for occ in (1, 7, 499, 500, 501, 999, 1000, 1001, 123_456):
+        assert salt_splits_for(occ) == max(1, math.ceil(occ / _SALT_MAX_OCC))
+
+
+def test_salting_dormant_at_fixture_scale(spark, sf_dir):
+    """The oracle-replay argument for q_dedup_embed_cosine's r15 plan
+    change, MEASURED rather than narrated: every fixture (tbl, bucket)
+    occupancy sits under _SALT_MAX_OCC, so the salt column is 1
+    everywhere and the salted join degenerates to the historical
+    pair set (the static DuckDB oracle replays bit-for-bit — which the
+    driver check confirms independently)."""
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _SALT_MAX_OCC,
+        bucketed_all_tables,
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    occ_max = (
+        bucketed_all_tables(v)
+        .groupBy("tbl", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ_max < _SALT_MAX_OCC, (
+        f"fixture max occupancy {occ_max} reaches the salt cap "
+        f"{_SALT_MAX_OCC} — the dormancy premise broke; re-derive"
+    )
+
+
+def test_salted_pairs_lossless_on_planted_clusters(spark, sf_dir):
+    """The salting cap on the corpus class it exists for: a planted-
+    cluster corpus (every fixture vector plus three tight ~0.95-cosine
+    satellites → 4× the occupancy in exactly the clustered buckets)
+    with the cap FORCED low enough to engage. The salted join must (a)
+    actually split hot cells (s ≥ 2 somewhere — not a vacuous pass)
+    and (b) emit EXACTLY the unsalted join's pair set — the lossless
+    claim that lets the static oracle replay at any scale, salted or
+    not."""
+    import numpy as np
+
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        bucketed_all_tables,
+        salt_splits_for,
+        salted_half_pairs,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    rng = np.random.RandomState(15)
+    rows = []
+    for r in base:
+        v = np.asarray(r.emb, dtype=np.float64)
+        v /= np.linalg.norm(v)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        for j in range(3):  # tight satellites: same bucket w.h.p.
+            noise = rng.randn(len(v))
+            noise -= noise.dot(v) * v
+            noise *= 0.30 / np.linalg.norm(noise)
+            t = v + noise
+            rows.append(
+                (int(r.vec_id) + (j + 1) * 1_000_000, [float(x) for x in t])
+            )
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, emb array<double>"
+    )
+    bucketed = bucketed_all_tables(corpus).drop("emb")
+    cap = 40  # force engagement at test scale (production cap 500)
+    occ_max = (
+        bucketed.groupBy("tbl", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ_max > cap, (
+        f"test corpus max occupancy {occ_max} never exceeds the forced "
+        f"cap {cap} — the engagement premise broke"
+    )
+    salted = salted_half_pairs(bucketed, max_occ=cap).dropDuplicates(
+        ["doc_id", "nn_id"]
+    )
+    plain = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_id"),
+            F.col("b.vec_id").alias("nn_id"),
+        )
+        .dropDuplicates(["doc_id", "nn_id"])
+    )
+    s_rows = sorted((r.doc_id, r.nn_id) for r in salted.collect())
+    p_rows = sorted((r.doc_id, r.nn_id) for r in plain.collect())
+    assert s_rows == p_rows, (
+        f"salted pair set diverged: {len(s_rows)} vs {len(p_rows)} pairs"
+    )
+    # the hot cell split into ≥2 groups under the forced cap (the same
+    # ceil the column expression computes)
+    assert -(-occ_max // cap) >= 2
+    # and the pure production rule is the same arithmetic at cap=500
+    assert salt_splits_for(501) == 2
+
+
 def test_framesample_counts_match_payload_math(spark, sf_dir):
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.multimodal import (
         _FRAME_BYTES,
