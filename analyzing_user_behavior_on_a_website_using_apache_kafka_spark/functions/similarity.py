@@ -284,7 +284,11 @@ def n_planes_for(n: int) -> int:
     q_dedup_semantic): a coarse-centroid partition whose cell count —
     unlike a bit width — scales smoothly with n at a constant
     assignment cost, with recall governed by nprobe rather than a
-    collision exponent.
+    collision exponent. Since r15 this routing is CODE, not prose:
+    `q_sim_ann` consults the footer count and delegates to the IVF
+    path past `ANN_IVF_CROSSOVER` = target·2^_MAX_PLANES — exactly the
+    n where the occupancy invariant this rule exists for first breaks
+    (VERDICT r14 item 4; see `ann_route`).
 
     Fixed-geometry control measurements (the quadratic this rule
     removes) pass an explicit width to `bucketed_all_tables` instead
@@ -591,6 +595,25 @@ def ann_probe_buckets(probes: DataFrame, n_planes: int) -> DataFrame:
         *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
     )
     return probes.withColumn("bucket", F.explode(flips))
+
+
+# The corpus size past which hyperplane LSH's width cap makes per-bucket
+# occupancy grow linearly-in-n again (n_planes_for's honest boundary:
+# occupancy n/2^w with w pinned at _MAX_PLANES once n > target·2^w).
+# Until r15 the boundary was prose routing ("the scale path is the IVF
+# route" — a docstring); now q_sim_ann consults the parquet footer count
+# and DELEGATES past it (VERDICT r14 item 4). The threshold is exact,
+# not tuned: it is the n where n_planes_for first returns a capped
+# width, i.e. where the occupancy-≤-target invariant breaks.
+ANN_IVF_CROSSOVER = _TARGET_BUCKET << _MAX_PLANES  # 125·2¹⁶ = 8,192,000
+
+
+def ann_route(n: int) -> str:
+    """'lsh' while the width cap holds occupancy at the target, 'ivf'
+    past it — the cross-over `q_sim_ann` executes (boundary-tested in
+    tests/test_northstar.py, including a forced-threshold delegation
+    equality run at fixture scale)."""
+    return "lsh" if n <= ANN_IVF_CROSSOVER else "ivf"
 
 
 # Per-reducer occupancy cap before a (tbl, bucket) cell is salt-split
@@ -1329,7 +1352,26 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold; measured min |projection| on the sf0.01 fixture is 6.4e-6
     across all 40k projections, ~9 orders above the ~1e-15 reassociation
     error of a 64-term double sum — no flip is reachable.)
+
+    LSH→IVF cross-over (r15, VERDICT r14 item 4): past
+    `ANN_IVF_CROSSOVER` vectors (8.192M — where n_planes_for's width
+    cap bites and per-bucket occupancy goes linear-in-n again) this
+    query DELEGATES to the IVF path (`q_sim_ivf`: same output schema
+    and determinism, cell count √(n/8) scaling smoothly where a bit
+    width cannot) instead of silently serving the capped geometry.
+    The threshold sits ~4000× above the largest fixture, so every
+    fixture/driver-scale plan and the static LSH oracle are untouched;
+    the delegation itself is tested at fixture scale by forcing the
+    threshold below the corpus size and asserting result equality with
+    q_sim_ivf (tests/test_northstar.py).
     """
+    n_corpus = table_rows(spark, sf_dir, "embeddings")
+    if ann_route(n_corpus) == "ivf":
+        # past the width cap: the capped LSH geometry would quietly
+        # return to linear occupancy growth — route to the operator
+        # whose geometry still scales (q_sim_ivf is itself fully
+        # oracle-checked under its own key)
+        return q_sim_ivf(spark, sf_dir)
     dim = 64  # embeddings fixture dimension (FIXTURES.md)
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -1347,7 +1389,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n_tables_for) so union recall never falls below ~0.79 (≥0.93
     # in the 2-bit regime) while
     # per-bucket occupancy stays bounded (see ann_probe_buckets).
-    n_planes = n_planes_for(table_rows(spark, sf_dir, "embeddings"))
+    n_planes = n_planes_for(n_corpus)
     bucketed = bucketed_all_tables(
         v, n_planes=n_planes, n_tables=n_tables_for(n_planes)
     )
