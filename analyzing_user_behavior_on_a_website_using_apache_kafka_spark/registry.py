@@ -89,98 +89,30 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-14 window, from `python tools/propose_window.py --changed
-    # q_sim_ann,q_dedup_embed_cosine,q_dedup_ngram_jaccard,
-    # q_dedup_clusters,q_sim_ivf,q_dedup_semantic`.  SIX changed keys
-    # lead: q_sim_ann/q_dedup_embed_cosine carry the r14 LSH geometry
-    # decision (target 125, recall-derived table count, width-scaled
-    # probe radius, orthogonalized wide planes); q_dedup_ngram_jaccard
-    # gained the PPJoin positional filter (lossless) and
-    # q_dedup_clusters consumes its pair memo; q_sim_ivf/
-    # q_dedup_semantic got the corpus-adaptive cell count
-    # (similarity.ivf_cells_for — the family's last fixed geometry).
-    # The four geometry keys are fixture-PLAN-preserving (floors anchor
-    # the historical constants at fixture corpus sizes); the jaccard
-    # pair's plan changed at every scale (posexplode + positional
-    # predicate) with fixture OUTPUT byte-identical (lossless filter).
-    # All six oracles re-verified this session, tuned + vanilla.  Then the EIGHT r10-stale
+    # Round-15 window, from `python tools/propose_window.py --changed
+    # q_dedup_embed_cosine`.  ONE changed key leads:
+    # q_dedup_embed_cosine's candidate self-join now goes through
+    # similarity.salted_half_pairs (per-bucket salting cap, VERDICT
+    # r14 item 3) — its PLAN changed at every scale (occupancy counts
+    # + salt column on the equi key) while the OUTPUT is byte-identical
+    # (lossless split; fixture dormancy test-pinned; sf0.01 oracle
+    # re-verified tuned + vanilla).  q_sim_ann's r15 LSH->IVF
+    # cross-over is NOT promoted: the routing branch reads the memoized
+    # footer count ~4000x below its threshold, so the served plan is
+    # bit-identical (PLANS.md regeneration this round shows exactly one
+    # changed section — embed_cosine).  Then the TEN r11-stale
     # NEXT_WINDOW_LEADS declared last round (MANDATORY per the slip
-    # rule, VERDICT r13 item 2), then 35 of the 45 r11-checked
-    # at-bound keys; TEN r11 keys slip to r15 (NEXT_WINDOW_LEADS
-    # below), and q_stream_custom_state (last checked r12, NOT
-    # at-bound) is the 50th slot — the stream-family coverage pin.
+    # rule, VERDICT r14 item 1), then 39 of the 42 r12-checked
+    # at-bound keys; THREE r12 keys slip to r16 (NEXT_WINDOW_LEADS
+    # below: q_union_all, q_union_distinct, q_unpivot — their families
+    # keep in-window members).  Window arithmetic: 1 + 10 + 39 = 50.
     # Standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
     # --- changed this round ---
-    "q_sim_ann",
     "q_dedup_embed_cosine",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_sim_ivf",
-    "q_dedup_semantic",
-    # --- past staleness bound (last r10) ---
-    "q_intersect",
-    "q_json_funcs",
-    "q_math_funcs",
-    "q_pack_sequences",
-    "q_path_topk",
-    "q_pipeline_curate",
-    "q_pivot",
-    "q_project_derive",
-    # --- at staleness bound (last r11) ---
-    "q_agg_approx_distinct",
-    "q_agg_distinct",
-    "q_agg_filtered",
-    "q_agg_percentile",
-    "q_agg_share",
-    "q_dedup_editdist",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_substring",
-    "q_embed_pq",
-    "q_event_anomaly",
-    "q_event_rfm",
-    "q_except",
-    "q_filter_null",
-    "q_join_cross",
-    "q_join_semi",
-    "q_json_variant",
-    "q_multimodal_framedup",
-    "q_sample_temperature",
-    "q_sink_foreachbatch",
-    "q_sink_zorder",
-    "q_source_binaryfile",
-    "q_source_orc",
-    "q_source_xml",
-    "q_sql_join_having",
-    "q_sql_lateral",
-    "q_sql_recursive",
-    "q_text_langid",
-    "q_text_quality",
-    "q_udf_scalar",
-    "q_udtf_python",
-    "q_win_distribution",
-    "q_win_range_frame",
-    "q_win_rank",
-    "q_win_running",
-    # --- family pin (stream) ---
-    "q_stream_custom_state",
-)
-
-
-# At-bound keys the window above could NOT fit (the proposer's rule-6
-# slips): they sit at staleness exactly 3 right now and MUST lead the
-# r15 rotation.  tools/rotation_check.py grants keys listed here a
-# one-round allowance (staleness == bound+1, never more), which
-# self-expires: if the next rotation fails to happen and another
-# round's results land, staleness hits bound+2 and the check goes red
-# for real.  Maintained together with _PRIORITY — the proposer prints
-# this tuple alongside the window
-# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
-# fails if a listed key is fresh, unregistered, or in-window).
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    # --- past staleness bound (last r11) ---
     "q_map_funcs",
     "q_profile_columns",
     "q_scan_project",
@@ -191,6 +123,63 @@ NEXT_WINDOW_LEADS: tuple[str, ...] = (
     "q_str_funcs",
     "q_subquery_scalar",
     "q_time_interpolate",
+    # --- at staleness bound (last r12) ---
+    "q_agg_approx_quantile",
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_sketch_merge",
+    "q_agg_stats",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_join_dpp",
+    "q_join_range_binned",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_sample_mixture",
+    "q_sim_timeseries",
+    "q_sim_topk_bruteforce",
+    "q_sink_bucketed",
+    "q_sink_upsert",
+    "q_source_evolving_schema",
+    "q_sql_window",
+    "q_stream_dedup",
+    "q_stream_kafka_source",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stream_left",
+    "q_stream_tumbling",
+    "q_stream_watermark_late",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langstats",
+    "q_text_ngram_counts",
+    "q_text_normalize",
+    "q_time_rollup",
+    "q_topk_per_group",
+    "q_udf_cogroup",
+    "q_udtf_explode",
+    "q_win_first_last",
+)
+
+
+# At-bound keys the window above could NOT fit (the proposer's rule-6
+# slips): they sit at staleness exactly 3 right now and MUST lead the
+# r16 rotation.  tools/rotation_check.py grants keys listed here a
+# one-round allowance (staleness == bound+1, never more), which
+# self-expires: if the next rotation fails to happen and another
+# round's results land, staleness hits bound+2 and the check goes red
+# for real.  Maintained together with _PRIORITY — the proposer prints
+# this tuple alongside the window
+# (tests/test_registry.py::test_next_window_leads_are_genuine_slips
+# fails if a listed key is fresh, unregistered, or in-window).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_union_all",
+    "q_union_distinct",
+    "q_unpivot",
 )
 
 
