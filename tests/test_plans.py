@@ -253,13 +253,23 @@ def test_no_fact_scaled_table_is_broadcast_hinted(spark, sf_dir):
       BENCHMARK source only (`source == bench` filter before the
       distinct) — a held-out eval set is benchmark-sized (MBs) at any
       corpus scale, but the walk cannot tell a bounding filter from a
-      scaling one."""
+      scaling one.
+    - q_dedup_embed_cosine (r15) broadcasts the (tbl, bucket) occupancy
+      counts feeding the salting cap — an Aggregate on LSH keys whose
+      DOMAIN is geometry-capped, not data-scaled: ≤ n_tables·2^n_planes
+      ≤ 45·2¹⁶ ≈ 2.9M rows (~47 MB) at the _MAX_PLANES width cap, with
+      the caps themselves enforced by bucketed_all_tables' ValueError
+      guard. The walk cannot know a column named `bucket` is a
+      constant-modulus code rather than a vocabulary key (minhash/
+      simhash band buckets are hash-valued and NOT bounded), so the
+      bound stays out-of-band rather than a name-based classifier rule."""
     hint_bounded_out_of_band = {
         "q_sim_topk_bruteforce",
         "q_sim_ivf",
         "q_sim_ann",
         "q_text_langid",
         "q_text_decontaminate",
+        "q_dedup_embed_cosine",
     }
 
     def check(name, df):
