@@ -57,11 +57,28 @@ def audit(spark, sf_dir: str, n_planes: int, n_tables: int = _N_TABLES) -> dict:
         .groupBy("tbl", "bucket")
         .count()
     )
+    from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.similarity import (
+        _SALT_MAX_OCC,
+    )
+
     row = occ.agg(
         F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
         F.max("count").alias("occ_max"),
         (F.sum("count") / F.countDistinct("tbl", "bucket")).alias("occ_avg"),
         F.sum("count").alias("total_rows"),
+        # salting-cap engagement (r15): cells the dedup self-join will
+        # salt-split, and the worst per-reducer enumeration work after
+        # the split (max over cells of occ²/⌈occ/cap⌉) — the audit's
+        # skew column says WHETHER the corpus clusters; these say what
+        # the cap DOES about it (0 split cells on uniform corpora =
+        # dormancy, the design invariant)
+        F.sum(
+            F.when(F.col("count") > _SALT_MAX_OCC, 1).otherwise(0)
+        ).alias("cells_split"),
+        F.max(
+            (F.col("count") * F.col("count"))
+            / F.ceil(F.col("count") / F.lit(_SALT_MAX_OCC))
+        ).alias("reducer_work_max"),
     ).collect()[0]
     # corpus size for free from the aggregate already computed (every
     # vector lands in exactly one bucket per table) — no second scan
@@ -85,6 +102,8 @@ def audit(spark, sf_dir: str, n_planes: int, n_tables: int = _N_TABLES) -> dict:
         "skew": round(
             row.pairs / n / (n_tables * float(row.occ_avg) / 2), 3
         ),
+        "cells_split": int(row.cells_split),
+        "reducer_work_max": int(row.reducer_work_max),
     }
 
 
@@ -98,9 +117,10 @@ def main() -> None:
     print(
         "| K | vectors | width | tables | occ avg/max | candidates "
         "| cand/vec | budget T·target/2 | skew vs T·occ/2 "
-        "| control width | control cand/vec |"
+        "| cells split | reducer work max | control width "
+        "| control cand/vec |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.catalog import (
         table_rows,
     )
@@ -119,7 +139,8 @@ def main() -> None:
             f"| {k} | {a['n']} | {a['planes']} | {a['tables']} "
             f"| {a['occ_avg']}/{a['occ_max']} "
             f"| {a['pairs']} | {a['per_vec']} | {budget:.0f} "
-            f"| {a['skew']} | {pinned} | {c['per_vec']} |"
+            f"| {a['skew']} | {a['cells_split']} "
+            f"| {a['reducer_work_max']} | {pinned} | {c['per_vec']} |"
         )
     print(
         "\nuniform-occupancy reference: cand/vec ~ n_tables_for(w) * "
@@ -131,8 +152,13 @@ def main() -> None:
         "orthogonalized per table (similarity._coeff_matrix) — the "
         "skew column should read ≈1.08 (the raw floor-plane residual) "
         "at EVERY scale; a sustained drift above that on a real corpus "
-        "means data clustering, the regime where per-bucket salting "
-        "caps are the next lever."
+        "means data clustering. Since r15 the cap is CODE "
+        "(similarity.salted_half_pairs, _SALT_MAX_OCC = 4×target): the "
+        "'cells split' column counts the (tbl, bucket) cells the dedup "
+        "self-join will salt-split (0 on uniform corpora = dormancy, "
+        "the design invariant) and 'reducer work max' is the worst "
+        "per-reducer enumeration count AFTER the split (occ²/⌈occ/cap⌉ "
+        "— bounded ~occ·cap by construction)."
     )
 
 
