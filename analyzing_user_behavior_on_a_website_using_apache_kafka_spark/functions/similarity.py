@@ -666,6 +666,19 @@ def salted_half_pairs(
     the cap is provably dormant (fixture max occupancy ≈ 2× target;
     test-pinned) so s = 1 everywhere and the join degenerates to the
     historical plan plus two broadcast hash joins.
+
+    Scope note (honest boundary): the MinHash and SimHash BAND
+    self-joins (dedup.minhash_lsh_pairs / simhash_band_pairs) carry the
+    same occ² cell exposure for a giant duplicate cluster. They are
+    partially mitigated already (first-collision-band emission +
+    post-join repartition balance the DOWNSTREAM stages) and the
+    curation order runs exact dedup first, which removes exact-dup
+    mega-clusters before banding — but their join reducers are not yet
+    salt-capped. Wiring them through this helper is mechanical (the
+    cell key is (band_id, band_key) instead of (tbl, bucket)) and is
+    the declared next application when those keys next rotate into a
+    verification window (r15 could not promote them: the window's 50
+    slots were consumed by mandatory leads — see registry._PRIORITY).
     """
     cap = _SALT_MAX_OCC if max_occ is None else max_occ
     counts = bucketed.groupBy("tbl", "bucket").agg(
