@@ -32,6 +32,20 @@ simhash, semantic, vocab). Extended single-shot numbers read slightly
 LOWER than the v1/v2 series (the first-draw cold component is now
 absorbed by the warm-up instead of landing in the one recorded draw);
 SCALE.md r15 records the version break.
+
+Methodology v4 (r16, VERDICT r15 item 1): the headline settle gate
+ACTS instead of only flagging. Four consecutive driver draws recorded
+flagged-dirty headline totals as-is (r12 load 5.22 … r15
+warmup_over_median 1.65 + load 10.28); now, when the gate trips
+(`warmup_over_median` > _SETTLE_GATE after the timed loop), the full
+timed headline loop runs ONCE more and the file reports the better
+pass, with both passes' totals recorded under `headline_retry` and a
+top-level `dirty` verdict: false when the two passes agree within the
+gate (the reported number is corroborated even though the start was
+dirty), true when they still disagree (whichever is lower may remain
+contaminated — compare with the quiet-rig close). Headline values are
+unchanged on quiet rigs (the retry never runs there), so v4 is
+v3-comparable for clean draws.
 """
 
 from __future__ import annotations
@@ -146,6 +160,15 @@ def _check_extended_order() -> None:
 
 
 N_REPS = 3  # headline repetitions; reported value = median total
+
+# Contamination threshold shared by every settle gate in the file:
+# warm-up ≳1.3× the reported number means the draw started on a
+# cold/contended rig (the empirical line from the r12-r15 dirty-draw
+# adjudications — quiet rigs read 0.9-1.2). v4 makes the HEADLINE gate
+# act on it (auto-retry); the extended gate still only flags, because
+# a full extended re-run (~2× the bench wall) buys less than the
+# median-of-3 reps the volatile keys already get.
+_SETTLE_GATE = 1.3
 
 # Extended queries whose sf0.1 wall-time band is too wide for a
 # single-shot number to be comparable round-over-round. Containment's
@@ -306,20 +329,63 @@ def main() -> None:
     # (SCALE.md variance study), so a single-shot total is one bad
     # scheduling window away from a phantom regression. Per-query value
     # = median across reps; headline value = median of per-rep totals.
-    per_rep: list[dict[str, float]] = []
-    for _ in range(N_REPS):
-        rep: dict[str, float] = {}
-        for name in HEADLINE:
-            t0 = time.time()
-            _consume(qs[name](spark, sf_dir))
-            rep[name] = round(time.time() - t0, 3)
-        per_rep.append(rep)
-    timings = {
-        name: round(_median([r[name] for r in per_rep]), 3)
-        for name in HEADLINE
-    }
-    rep_totals = [round(sum(r.values()), 3) for r in per_rep]
-    total = round(_median(rep_totals), 3)
+    def _timed_headline_loop():
+        loop_reps: list[dict[str, float]] = []
+        for _ in range(N_REPS):
+            rep: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.time()
+                _consume(qs[name](spark, sf_dir))
+                rep[name] = round(time.time() - t0, 3)
+            loop_reps.append(rep)
+        loop_timings = {
+            name: round(_median([r[name] for r in loop_reps]), 3)
+            for name in HEADLINE
+        }
+        loop_totals = [round(sum(r.values()), 3) for r in loop_reps]
+        return loop_reps, loop_timings, loop_totals, round(
+            _median(loop_totals), 3
+        )
+
+    per_rep, timings, rep_totals, total = _timed_headline_loop()
+    # `warmup_over_median` keeps its historical meaning — did the rig
+    # START dirty — so it is computed against the FIRST pass and never
+    # recomputed against a retry total (warmup_total is fixed, so a
+    # faster retry would inflate the ratio and misread as dirtier).
+    warmup_over_median = round(warmup_total / max(total, 1e-9), 2)
+    # HEADLINE RETRY (methodology v4, r16 — VERDICT r15 item 1): a
+    # tripped gate triggers ONE full re-run of the timed loop; the
+    # reported headline numbers are the better (lower-total) pass, and
+    # both totals stay in the file so a reader can audit the choice.
+    # `dirty` is the post-retry verdict: the two passes agreeing within
+    # the gate corroborates the reported number (a cold START the
+    # warm-up failed to fully absorb); disagreement means contention
+    # persisted through at least one pass and even the better number
+    # may be inflated — weigh the quiet-rig close instead.
+    retry_info = None
+    retry_discarded = None
+    dirty = False
+    if warmup_over_median > _SETTLE_GATE:
+        per_rep2, timings2, rep_totals2, total2 = _timed_headline_loop()
+        agreement = round(
+            max(total, total2) / max(min(total, total2), 1e-9), 2
+        )
+        retry_info = {
+            "first_total_sec": total,
+            "retry_total_sec": total2,
+            "agreement": agreement,
+        }
+        if total2 < total:
+            retry_discarded = per_rep  # the discarded (slower) pass
+            per_rep, timings, rep_totals, total = (
+                per_rep2,
+                timings2,
+                rep_totals2,
+                total2,
+            )
+        else:
+            retry_discarded = per_rep2  # retry was slower; discarded
+        dirty = agreement > _SETTLE_GATE
     extended: dict[str, float] = {}
     # SPARK_GRAFT_SKIP_EXTENDED=1 → headline-only run, for quick
     # repetition when characterizing variance (the driver never sets it)
@@ -342,11 +408,15 @@ def main() -> None:
     # absorbs the cold component for the extended plans too, and its
     # ratio to the reported extended total (`warmup_ext_over_total`)
     # gives the extended series its own in-file contamination signal.
-    # evict_caches after the pass puts the timed loop's starting cache
-    # state back to the v2 baseline (nothing persisted), so only the
+    # evict_caches after the pass establishes a CLEAN starting cache
+    # state for the timed loop (nothing persisted) — clean, not
+    # v2-identical: v2's extended loop started with headline-era
+    # persisted caches present, so v3 single-shot keys start colder
+    # than they did under v2. That shift is part of the documented v3
+    # version break (SCALE.md r15); what carries over here is only the
     # JVM/codegen/page-cache warmth — the rig-history component —
-    # carries over, exactly like the headline gate.
-    warmup_ext_total = 0.0
+    # exactly like the headline gate.
+    warmup_ext_total = None  # None (not 0.0) when the set is skipped
     if not skip_ext:
         from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.session import (
             evict_caches,
@@ -392,14 +462,23 @@ def main() -> None:
             "load_avg_5m": load5,
             "load_avg_15m": load15,
             # settle-gate fields (methodology v2, r14): the discarded
-            # warm-up pass total and its ratio to the reported median —
-            # >~1.3 flags a cold/contended start in the file itself
+            # warm-up pass total and its ratio to the FIRST timed
+            # pass's median — >~1.3 flags a cold/contended start in the
+            # file itself (and, since v4, triggers the headline retry)
             "warmup_total_sec": warmup_total,
-            "warmup_over_median": round(warmup_total / max(total, 1e-9), 2),
+            "warmup_over_median": warmup_over_median,
+            # headline-retry fields (methodology v4, r16): null when
+            # the gate passed; otherwise both passes' totals and their
+            # agreement ratio — the reported headline numbers are the
+            # better pass. `dirty` is the post-retry verdict (true =
+            # the passes still disagree past the gate).
+            "headline_retry": retry_info,
+            "dirty": dirty,
             # extended settle-gate fields (methodology v3, r15): same
             # contract for the extended series — ratio ≳1.3 means the
             # extended numbers started cold/contended; compare with the
-            # quiet-rig close before reading a regression
+            # quiet-rig close before reading a regression. Both fields
+            # are null (not 0.0) when SPARK_GRAFT_SKIP_EXTENDED=1.
             "warmup_ext_total_sec": warmup_ext_total,
             "warmup_ext_over_total": round(
                 warmup_ext_total / max(sum(extended.values()), 1e-9), 2
@@ -412,6 +491,9 @@ def main() -> None:
             "reps": rep_totals,
             "queries_per_rep": per_rep,
             "extended_reps": extended_reps,
+            # per-key detail of whichever v4 pass was NOT reported
+            # (compact carries only the totals); null when no retry ran
+            "retry_discarded_pass": retry_discarded,
         },
     )
 

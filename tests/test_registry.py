@@ -496,6 +496,19 @@ def test_bench_emission_is_compact_contract_line_last(capsys):
         "extended_total_sec": 12.0,
         "sf": 0.1,
         "load_avg_start": 0.42,  # rig-state field added r8
+        # settle-gate / retry fields (v2 r14, v4 r16) at their maximal
+        # (retry-ran) size, so the 4096-byte bound is checked against
+        # the LARGEST line bench.main can emit
+        "warmup_total_sec": 19.5,
+        "warmup_over_median": 1.65,
+        "headline_retry": {
+            "first_total_sec": 15.47,
+            "retry_total_sec": 12.1,
+            "agreement": 1.28,
+        },
+        "dirty": False,
+        "warmup_ext_total_sec": 45.9,
+        "warmup_ext_over_total": 1.34,
     }
     emit(compact, detail={"detail": "per_rep", "reps": [1.5] * 3})
     cap = capsys.readouterr()
