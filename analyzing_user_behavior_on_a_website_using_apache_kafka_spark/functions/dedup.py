@@ -19,7 +19,10 @@ _CACHE_OWNERSHIP: the explicit ``persist(MEMORY_AND_DISK)`` calls in
 this module (minhash signatures, jaccard prefixes, containment ordered,
 semantic assignment, editdist location-prefixes (``withpre``, r8),
 simhash signatures, embed-cosine
-buckets and scored half-pairs) — plus the O(hours×types) rollup/
+buckets and scored half-pairs, plus the occupancy-attached band
+tables the salted band joins persist inside
+``similarity.salted_half_pairs`` (r16 — ids + band hash keys + one
+int, one row per doc per band)) — plus the O(hours×types) rollup/
 interpolation base in ``operators/timeseries.py`` (r8) and the
 O(languages) count relation in ``functions/sampling.py``'s
 temperature resampler (late r8) —
@@ -208,49 +211,16 @@ def _minhash_mins(hashed: pd.Series) -> pd.DataFrame:
     return out
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs (doc_a, doc_b, est_jaccard) via
-    MinHash banding — the raw LSH operator.
-
-    Signatures → band keys (hash of 4 consecutive minhashes) → self-join
-    per band bucket → distinct candidate pairs with estimated jaccard
-    (fraction of agreeing minhashes). The corpus is never cross-joined:
-    only docs sharing a band bucket meet, so the join is an equi hash
-    join on (band_id, band_key) that scales linearly with collisions.
-
-    First-collision-band emission (r11, ported from
-    simhash_band_pairs): a pair is emitted only from the lowest band
-    whose keys match — band j survives iff no band j′ < j matched. A
-    true near-dup collides in ~all 8 bands, so the old
-    dropDuplicates consumed ~8× the output (66 M join rows for 8.3 M
-    pairs at sf0.1) in an extra exchange + dedup stage; the guard is
-    a map-side filter instead. Collision is DEFINED by band-key
-    (xxhash64) equality — the same proxy the join itself uses — so
-    the emitted pair set is bit-identical to the dropDuplicates form.
-
-    Shuffle discipline: the banded table carries (band_id, band_key,
-    doc_id) plus the 8 band keys for the first-band guard — ~88 B per
-    doc per band, still far from the 32-element signature arrays
-    (~2 KB/doc), which are re-attached to the SURVIVING candidate
-    pairs afterwards via two doc_id equi-joins, the same
-    slim-then-rejoin pattern as prefix_filtered_jaccard_join's
-    verification step.
-    """
-    # PERSIST the signature table: it feeds 8 band projections, BOTH
-    # sides of the bucket self-join, and the two signature re-attach
-    # joins — and the higher-order-lambda minhash lineage defeats
-    # Spark's exchange reuse (see prefix_filtered_jaccard_join), so
-    # unpersisted the corpus is re-tokenized and re-permuted ~18×.
-    # 32 longs + doc_id ≈ 260 B/doc; a production pipeline stages this
-    # exact table to storage. MEMORY_AND_DISK: spill, don't OOM.
-    from pyspark import StorageLevel
-
-    sigs = minhash_signatures(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+def minhash_banded(sigs: DataFrame) -> DataFrame:
+    """The banded MinHash table: one row per (doc, band) carrying
+    (doc_id, bk_0..bk_7, band_id, band_key), band key = xxhash64 of 4
+    consecutive minhashes. Factored out of minhash_lsh_pairs (r16) so
+    the salting tests and the band-space candidate audit build the
+    EXACT production cell space instead of re-deriving it."""
     rows_per_band = _N_HASHES // _N_BANDS
     # one row per doc with all 8 band keys, so each banded row can
-    # carry every key for the first-collision-band guard below
+    # carry every key for the first-collision-band guard in
+    # minhash_lsh_pairs
     keyed = sigs.select(
         "doc_id",
         *[
@@ -279,27 +249,98 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    left = banded.alias("a")
-    right = banded.alias("b")
+    return banded
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a, doc_b, est_jaccard) via
+    MinHash banding — the raw LSH operator.
+
+    Signatures → band keys (hash of 4 consecutive minhashes) → self-join
+    per band bucket → distinct candidate pairs with estimated jaccard
+    (fraction of agreeing minhashes). The corpus is never cross-joined:
+    only docs sharing a band bucket meet, so the join is an equi hash
+    join on (band_id, band_key) that scales linearly with collisions.
+
+    First-collision-band emission (r11, ported from
+    simhash_band_pairs): a pair is emitted only from the lowest band
+    whose keys match — band j survives iff no band j′ < j matched. A
+    true near-dup collides in ~all 8 bands, so the old
+    dropDuplicates consumed ~8× the output (66 M join rows for 8.3 M
+    pairs at sf0.1) in an extra exchange + dedup stage; the guard is
+    a map-side filter instead. Collision is DEFINED by band-key
+    (xxhash64) equality — the same proxy the join itself uses — so
+    the emitted pair set is bit-identical to the dropDuplicates form.
+
+    Shuffle discipline: the banded table carries (band_id, band_key,
+    doc_id) plus the 8 band keys for the first-band guard — ~88 B per
+    doc per band, still far from the 32-element signature arrays
+    (~2 KB/doc), which are re-attached to the SURVIVING candidate
+    pairs afterwards via two doc_id equi-joins, the same
+    slim-then-rejoin pattern as prefix_filtered_jaccard_join's
+    verification step.
+
+    Hot-cell salting (r16, VERDICT r15 item 2): the band self-join
+    routes through similarity.salted_half_pairs with cell key
+    (band_id, band_key), broadcast=False (band keys are data-scaled
+    hash values — occupancy attaches via a partitioned window count,
+    never a broadcast). A giant duplicate cluster's occ² enumeration
+    is thereby bounded at occ·_SALT_MAX_OCC per reducer with an
+    IDENTICAL output pair set (planted-cluster equality + dormancy
+    tests in tests/test_northstar.py); at fixture occupancies every
+    cell sits under the cap, so s = 1 and the join degenerates to the
+    historical pair set.
+    """
+    # PERSIST the signature table: it feeds 8 band projections, BOTH
+    # sides of the bucket self-join, and the two signature re-attach
+    # joins — and the higher-order-lambda minhash lineage defeats
+    # Spark's exchange reuse (see prefix_filtered_jaccard_join), so
+    # unpersisted the corpus is re-tokenized and re-permuted ~18×.
+    # 32 longs + doc_id ≈ 260 B/doc; a production pipeline stages this
+    # exact table to storage. MEMORY_AND_DISK: spill, don't OOM.
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = minhash_banded(sigs)
+    bk_cols = [f"bk_{band}" for band in range(_N_BANDS)]
+    # The band self-join routes through similarity.salted_half_pairs
+    # (r16, VERDICT r15 item 2 — the declared application of the r15
+    # LSH-bucket salting): a giant duplicate cluster puts its whole
+    # membership behind ONE (band_id, band_key) cell, and the plain
+    # equi-join lands that cell's occ² pair enumeration on one reducer
+    # — the first-collision-band guard and the downstream repartition
+    # balance LATER stages, not the join reducers themselves. Hot
+    # cells past _SALT_MAX_OCC are salt-split losslessly (identical
+    # pair set — planted-cluster equality test), dormant at every
+    # fixture/uniform occupancy. broadcast=False because band keys are
+    # raw xxhash64 values: the distinct-cell count scales with the
+    # corpus (≈ 8n), so occupancy attaches via a partitioned window
+    # count instead of a data-scaled broadcast (ADVICE r15).
+    from .similarity import salted_half_pairs
+
+    bk_carry = tuple(bk_cols)
+    half = salted_half_pairs(
+        banded,
+        id_col="doc_id",
+        cell_cols=("band_id", "band_key"),
+        carry_cols=bk_carry,
+        broadcast=False,
+    )
     first_band = None
     for band in range(_N_BANDS):
-        cond = (F.col("a.band_id") == band)
+        cond = (F.col("band_id") == band)
         for prev in range(band):
             cond = cond & (
-                F.col(f"a.bk_{prev}") != F.col(f"b.bk_{prev}")
+                F.col(f"bk_{prev}_a") != F.col(f"bk_{prev}_b")
             )
         first_band = cond if first_band is None else (first_band | cond)
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(first_band)
+        half.filter(first_band)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("doc_id").alias("doc_a"),
+            F.col("nn_id").alias("doc_b"),
         )
         # rebalance before the per-pair est stage: the band join's
         # output partitioning is (band_id, band_key), and hot buckets
@@ -1344,6 +1385,29 @@ def _sign_sum_bands(families, band_width: int):
     return out.view(np.int64)
 
 
+def simhash_banded(sigs: DataFrame) -> DataFrame:
+    """The banded SimHash table: one row per (doc, band) carrying
+    (doc_id, sh0..sh3, band_id, band_key), band key = the stored band
+    word itself. Factored out of simhash_band_pairs (r16) so the
+    salting tests and the band-space candidate audit build the EXACT
+    production cell space instead of re-deriving it."""
+    sig_cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
+    bands = []
+    for j in range(_SIMHASH_BANDS):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                *sig_cols,
+                F.lit(j).alias("band_id"),
+                F.col(f"sh{j}").alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    return banded
+
+
 def simhash_band_pairs(
     spark: SparkSession, sf_dir: str, band_bits: int | None = None
 ) -> DataFrame:
@@ -1372,6 +1436,16 @@ def simhash_band_pairs(
     One slim (doc_id, 4×bigint) row per doc — MEMORY_AND_DISK spills,
     never OOMs. Session-lifetime cache by design (_CACHE_OWNERSHIP,
     module top).
+
+    Hot-cell salting (r16, VERDICT r15 item 2): the band self-join
+    routes through similarity.salted_half_pairs — cell key
+    (band_id, band_key), broadcast=False (fingerprint words are a
+    data-scaled domain; occupancy attaches via a partitioned window
+    count) — so a hamming-0 mega-cluster's occ² reducer work is capped
+    at occ·_SALT_MAX_OCC with an identical output pair set
+    (planted-cluster equality + dormancy tests in
+    tests/test_northstar.py); dormant (s = 1) at every fixture
+    occupancy.
     """
     from pyspark import StorageLevel
 
@@ -1379,23 +1453,26 @@ def simhash_band_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sig_cols = [f"sh{j}" for j in range(_SIMHASH_BANDS)]
-    bands = []
-    for j in range(_SIMHASH_BANDS):
-        bands.append(
-            sigs.select(
-                "doc_id",
-                *sig_cols,
-                F.lit(j).alias("band_id"),
-                F.col(f"sh{j}").alias("band_key"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    a, b = banded.alias("a"), banded.alias("b")
+    banded = simhash_banded(sigs)
+    # Band self-join through similarity.salted_half_pairs (r16,
+    # VERDICT r15 item 2), same rationale as minhash_lsh_pairs: a
+    # hamming-0 mega-cluster is one (band_id, band_key) cell whose occ²
+    # enumeration would otherwise serialize on a single reducer; the
+    # salt split bounds it at occ·cap with an IDENTICAL output pair
+    # set. broadcast=False — band keys are fingerprint words, a
+    # data-scaled domain no broadcast may ship (ADVICE r15).
+    from .similarity import salted_half_pairs
+
+    half = salted_half_pairs(
+        banded,
+        id_col="doc_id",
+        cell_cols=("band_id", "band_key"),
+        carry_cols=tuple(sig_cols),
+        broadcast=False,
+    )
     hamming = sum(
         (
-            F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+            F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
             for c in sig_cols
         ),
         start=F.lit(0),
@@ -1412,21 +1489,15 @@ def simhash_band_pairs(
     # band key).
     first_band = None
     for j in range(_SIMHASH_BANDS):
-        cond = (F.col("a.band_id") == j)
+        cond = (F.col("band_id") == j)
         for jp in range(j):
-            cond = cond & (F.col(f"a.sh{jp}") != F.col(f"b.sh{jp}"))
+            cond = cond & (F.col(f"sh{jp}_a") != F.col(f"sh{jp}_b"))
         first_band = cond if first_band is None else (first_band | cond)
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(first_band & (hamming <= _HAMMING_MAX))
+        half.filter(first_band & (hamming <= _HAMMING_MAX))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("doc_id").alias("doc_a"),
+            F.col("nn_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
     )

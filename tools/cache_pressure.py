@@ -30,11 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the package to re-derive).  A new persisting key belongs HERE plus in
 # session.evict_caches if it adds a memo dict.
 PERSISTING_KEYS: tuple[str, ...] = (
-    "q_dedup_near",            # minhash signatures
+    "q_dedup_near",            # minhash signatures + salted band table (r16)
     "q_dedup_ngram_jaccard",   # jaccard prefix postings (+ _PAIR_CACHE)
     "q_dedup_containment",     # containment ordered tokens
     "q_dedup_editdist",        # location-prefix postings
-    "q_dedup_simhash",         # simhash signatures
+    "q_dedup_simhash",         # simhash signatures + salted band table (r16)
     "q_dedup_embed_cosine",    # LSH buckets + scored half-pairs
     "q_dedup_semantic",        # centroid assignment
     "q_dedup_clusters",        # verified-pair memo (_PAIR_CACHE)
