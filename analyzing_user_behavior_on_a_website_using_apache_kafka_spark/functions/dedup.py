@@ -287,9 +287,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a broadcast). A giant duplicate cluster's occ² enumeration
     is thereby bounded at occ·_SALT_MAX_OCC per reducer with an
     IDENTICAL output pair set (planted-cluster equality + dormancy
-    tests in tests/test_northstar.py); at fixture occupancies every
-    cell sits under the cap, so s = 1 and the join degenerates to the
-    historical pair set.
+    tests in tests/test_northstar.py). Dormant (s = 1, the historical
+    pair join) at the ORACLE scales — sf0.001/sf0.01 band occupancies
+    max 292/272, test-pinned — and genuinely ENGAGED at sf0.1, where
+    the deliberately self-similar fixture's near-dup clusters put 8
+    cells over the cap (occ_max 2700 → s = 6, a 2700² single-reducer
+    enumeration split six ways): the benched plan runs the hot path
+    for real, at ~+0.6 s over the unsalted join.
     """
     # PERSIST the signature table: it feeds 8 band projections, BOTH
     # sides of the bucket self-join, and the two signature re-attach
@@ -1444,8 +1448,9 @@ def simhash_band_pairs(
     count) — so a hamming-0 mega-cluster's occ² reducer work is capped
     at occ·_SALT_MAX_OCC with an identical output pair set
     (planted-cluster equality + dormancy tests in
-    tests/test_northstar.py); dormant (s = 1) at every fixture
-    occupancy.
+    tests/test_northstar.py). Dormant at the oracle scales (sf0.001/
+    sf0.01 band occupancies max 83/73); engaged for real at sf0.1 (one
+    cell, occ 710 → s = 2) — the benched plan exercises the hot path.
     """
     from pyspark import StorageLevel
 

@@ -703,10 +703,15 @@ def salted_half_pairs(
     (doc_id, nn_id) shape — the embed-cosine caller's plan is
     byte-identical to r15.
 
-    At fixture scale the cap is provably dormant for every caller
-    (max occupancy ≈ 2× target in the LSH buckets, dup-cluster-sized
-    in the band cells; test-pinned), so s = 1 everywhere and the join
-    degenerates to the historical pair set.
+    Dormancy, per caller: the LSH bucket caller is provably dormant at
+    every fixture scale (max occupancy ≈ 2× target, test-pinned). The
+    band callers are dormant at the ORACLE scales (sf0.001/sf0.01 max
+    band occupancy 292/272 minhash, 83/73 simhash — so the static
+    DuckDB oracles replay over the historical pair join) and genuinely
+    ENGAGED at sf0.1, where the deliberately self-similar fixture's
+    near-dup clusters exceed the cap (minhash 8 cells, occ_max 2700;
+    simhash 1 cell, occ 710): the benched plans run the hot path for
+    real, with the planted-cluster equality tests pinning losslessness.
     """
     cap = _SALT_MAX_OCC if max_occ is None else max_occ
     cells = list(cell_cols)

@@ -89,80 +89,79 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # previously-failing rows sit inside a 50-entry window.  Names not listed
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-15 window, from `python tools/propose_window.py --changed
-    # q_dedup_embed_cosine`.  ONE changed key leads:
-    # q_dedup_embed_cosine's candidate self-join now goes through
-    # similarity.salted_half_pairs (per-bucket salting cap, VERDICT
-    # r14 item 3) — its PLAN changed at every scale (occupancy counts
-    # + salt column on the equi key) while the OUTPUT is byte-identical
-    # (lossless split; fixture dormancy test-pinned; sf0.01 oracle
-    # re-verified tuned + vanilla).  q_sim_ann's r15 LSH->IVF
-    # cross-over is NOT promoted: the routing branch reads the memoized
-    # footer count ~4000x below its threshold, so the served plan is
-    # bit-identical (PLANS.md regeneration this round shows exactly one
-    # changed section — embed_cosine).  Then the TEN r11-stale
-    # NEXT_WINDOW_LEADS declared last round (MANDATORY per the slip
-    # rule, VERDICT r14 item 1), then 39 of the 42 r12-checked
-    # at-bound keys; THREE r12 keys slip to r16 (NEXT_WINDOW_LEADS
-    # below: q_union_all, q_union_distinct, q_unpivot — their families
-    # keep in-window members).  Window arithmetic: 1 + 10 + 39 = 50.
+    # Round-16 window, from `python tools/propose_window.py --changed
+    # q_dedup_near,q_dedup_simhash`.  TWO changed keys lead: both band
+    # self-joins now route through similarity.salted_half_pairs with
+    # cell key (band_id, band_key) and broadcast=False (VERDICT r15
+    # item 2 — the declared application of the r15 salting cap) — their
+    # PLANS changed at every scale (occupancy window + cold/hot split
+    # on the band join) while the OUTPUT pair sets are byte-identical
+    # (lossless split, planted-cluster equality tests; sf0.01 oracles
+    # re-verified tuned + vanilla; at sf0.1 the cap genuinely engages
+    # on the self-similar fixture — SCALE.md r16).  Then the THREE
+    # r12-stale NEXT_WINDOW_LEADS declared last round (MANDATORY per
+    # the slip rule, VERDICT r15 item 1), then 45 of the 47 remaining
+    # r13-checked at-bound keys; TWO r13 keys slip to r17
+    # (NEXT_WINDOW_LEADS below: q_funnel_conversion,
+    # q_growth_accounting — their families keep in-window members).
+    # Window arithmetic: 2 + 3 + 45 = 50.
     # Standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead.
     # Any key whose served plan changes must be promoted to the FRONT
     # (re-run the proposer with --changed).
     # --- changed this round ---
-    "q_dedup_embed_cosine",
-    # --- past staleness bound (last r11) ---
-    "q_map_funcs",
-    "q_profile_columns",
-    "q_scan_project",
-    "q_sessionize_batch",
-    "q_sort_limit",
-    "q_sort_multikey",
-    "q_split_train_test",
-    "q_str_funcs",
-    "q_subquery_scalar",
-    "q_time_interpolate",
-    # --- at staleness bound (last r12) ---
-    "q_agg_approx_quantile",
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_sketch_merge",
-    "q_agg_stats",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_join_dpp",
-    "q_join_range_binned",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_sample_mixture",
-    "q_sim_timeseries",
-    "q_sim_topk_bruteforce",
-    "q_sink_bucketed",
-    "q_sink_upsert",
-    "q_source_evolving_schema",
-    "q_sql_window",
-    "q_stream_dedup",
-    "q_stream_kafka_source",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stream_left",
-    "q_stream_tumbling",
-    "q_stream_watermark_late",
-    "q_text_chunk",
-    "q_text_decontaminate",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_langstats",
-    "q_text_ngram_counts",
-    "q_text_normalize",
-    "q_time_rollup",
-    "q_topk_per_group",
-    "q_udf_cogroup",
-    "q_udtf_explode",
-    "q_win_first_last",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    # --- past staleness bound (last r12) ---
+    "q_union_all",
+    "q_union_distinct",
+    "q_unpivot",
+    # --- at staleness bound (last r13) ---
+    "q_agg_count_by",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_sum_avg",
+    "q_array_funcs",
+    "q_cohort_retention",
+    "q_date_funcs",
+    "q_embed_normquant",
+    "q_event_attribution",
+    "q_event_dwell",
+    "q_event_transitions",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_range",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_join_theta_range",
+    "q_multimodal_cols",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sim_pq_adc",
+    "q_sink_append",
+    "q_sink_partitioned",
+    "q_source_csv",
+    "q_source_json",
+    "q_sql_report",
+    "q_stream_complete_agg",
+    "q_text_pii_scrub",
+    "q_text_repetition",
+    "q_text_rollhash",
+    "q_text_tfidf",
+    "q_text_token_bpe",
+    "q_text_tokens",
+    "q_text_unigram_logprob",
+    "q_text_vocab",
+    "q_udaf_grouped",
+    "q_udf_pandas",
+    "q_win_lag_lead",
 )
 
 
@@ -177,9 +176,8 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
-    "q_union_all",
-    "q_union_distinct",
-    "q_unpivot",
+    "q_funnel_conversion",
+    "q_growth_accounting",
 )
 
 
@@ -246,6 +244,8 @@ def _ensure_loaded() -> None:
     # (2026-08-16): google.protobuf, grpc and PIL all still
     # ModuleNotFoundError; pyspark/jars still has no kafka connector.
     # Re-probed r15 (2026-08-16): unchanged on all four (google.protobuf,
+    # grpc, PIL ModuleNotFoundError; no kafka jar in pyspark/jars).
+    # Re-probed r16 (2026-08-16): unchanged on all four (google.protobuf,
     # grpc, PIL ModuleNotFoundError; no kafka jar in pyspark/jars).
     # Revisit each round; the applyInPandasWithState operator above
     # covers the arbitrary-state semantics meanwhile.

@@ -1201,14 +1201,18 @@ def test_salted_pairs_lossless_on_planted_clusters(spark, sf_dir):
     assert salt_splits_for(501) == 2
 
 
-def test_band_salting_dormant_at_fixture_scale(spark, sf_dir):
+def test_band_salting_dormant_at_oracle_scales(spark, sf_dir):
     """r16 (VERDICT r15 item 2): the MinHash and SimHash band
     self-joins now route through salted_half_pairs with cell key
-    (band_id, band_key). Same oracle-replay argument as the LSH bucket
-    join, MEASURED: every fixture band-cell occupancy sits under
+    (band_id, band_key). The oracle-replay argument, MEASURED at BOTH
+    oracle scales (the test fixture and sf0.01, where the driver's
+    DuckDB comparison runs): every band-cell occupancy sits under
     _SALT_MAX_OCC, so s = 1 everywhere, the salt columns degenerate,
-    and both static DuckDB oracles replay bit-for-bit (the driver
-    check confirms independently)."""
+    and both static oracles replay over the historical pair join. NOT
+    asserted at sf0.1 — the self-similar fixture's near-dup clusters
+    genuinely engage the cap there (minhash 8 cells over, occ_max
+    2700; simhash 1, occ 710 — SCALE.md r16), which the planted-
+    cluster lossless-equality test below covers."""
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark.functions.dedup import (
         minhash_banded,
         minhash_signatures,
@@ -1219,20 +1223,25 @@ def test_band_salting_dormant_at_fixture_scale(spark, sf_dir):
         _SALT_MAX_OCC,
     )
 
-    for name, banded in (
-        ("minhash", minhash_banded(minhash_signatures(spark, sf_dir))),
-        ("simhash", simhash_banded(simhash_fingerprints(spark, sf_dir))),
-    ):
-        occ_max = (
-            banded.groupBy("band_id", "band_key")
-            .count()
-            .agg(F.max("count"))
-            .collect()[0][0]
-        )
-        assert occ_max < _SALT_MAX_OCC, (
-            f"{name} fixture max band-cell occupancy {occ_max} reaches "
-            f"the salt cap {_SALT_MAX_OCC} — the dormancy premise broke"
-        )
+    sf_dirs = {sf_dir, "/root/testdata/sf0.01"}
+    for d in sorted(sf_dirs):
+        if not os.path.isdir(d):
+            continue
+        for name, banded in (
+            ("minhash", minhash_banded(minhash_signatures(spark, d))),
+            ("simhash", simhash_banded(simhash_fingerprints(spark, d))),
+        ):
+            occ_max = (
+                banded.groupBy("band_id", "band_key")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            assert occ_max < _SALT_MAX_OCC, (
+                f"{name}@{d} max band-cell occupancy {occ_max} reaches "
+                f"the salt cap {_SALT_MAX_OCC} — the oracle-scale "
+                "dormancy premise broke"
+            )
 
 
 def test_band_salted_joins_lossless_on_planted_duplicate_cluster(
