@@ -46,6 +46,19 @@ dirty), true when they still disagree (whichever is lower may remain
 contaminated — compare with the quiet-rig close). Headline values are
 unchanged on quiet rigs (the retry never runs there), so v4 is
 v3-comparable for clean draws.
+
+Host-speed canary (r16 close): retry agreement corroborates
+REPRODUCIBILITY, not host speed — the r16 close recorded a draw whose
+two passes agreed to 1.00 at a total 41% above the same day's best
+draw, on a rig with load 0.0 and <1% steal, because the host itself
+(a shared VM) cycles between fast and ~2.2x-slow phases on minute
+timescales (the same fixed 20M-iteration Python loop read 1.17-1.29 s
+during quiet probes and 2.41-2.63 s inside slow phases, measured
+r16). `host_canary_start_sec` / `host_canary_end_sec` time that exact
+loop before the JVM starts and after the extended loop, so every
+BENCH file carries the host-speed evidence needed to distinguish "the
+plans regressed" from "the host was in a slow phase" without a
+side-channel. Costs ~2x2.5 s worst case against a ~8 min run.
 """
 
 from __future__ import annotations
@@ -248,6 +261,18 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _host_canary() -> float:
+    """Fixed single-thread CPU workload (~1.2 s on this rig's fast
+    phase, ~2.4-2.6 s in its slow phase — see the module docstring).
+    Pure-Python integer loop: no allocation, no vector units, no
+    page-cache dependence, so it reads HOST speed and nothing else."""
+    t = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.time() - t, 3)
+
+
 def _consume(df) -> None:
     """Execute the query computing EVERY output column.
 
@@ -290,6 +315,7 @@ def main() -> None:
         load1, load5, load15 = (round(x, 2) for x in os.getloadavg())
     except OSError:  # platform without getloadavg
         load1 = load5 = load15 = None
+    canary_start = _host_canary()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -448,6 +474,7 @@ def main() -> None:
         extended[name] = round(_median(reps), 3)
         if len(reps) > 1:
             extended_reps[name] = reps
+    canary_end = _host_canary()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     emit(
         compact={
@@ -485,6 +512,12 @@ def main() -> None:
             )
             if extended
             else None,
+            # host-speed canary (r16): the fixed CPU loop timed before
+            # the JVM started and after the extended loop — slow-phase
+            # evidence (≳2 = ~2x-degraded host) that retry agreement
+            # cannot carry (see module docstring)
+            "host_canary_start_sec": canary_start,
+            "host_canary_end_sec": canary_end,
         },
         detail={
             "detail": "per_rep",
