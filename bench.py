@@ -47,18 +47,24 @@ contaminated — compare with the quiet-rig close). Headline values are
 unchanged on quiet rigs (the retry never runs there), so v4 is
 v3-comparable for clean draws.
 
-Host-speed canary (r16 close): retry agreement corroborates
+Host canaries (r16 close): retry agreement corroborates
 REPRODUCIBILITY, not host speed — the r16 close recorded a draw whose
 two passes agreed to 1.00 at a total 41% above the same day's best
-draw, on a rig with load 0.0 and <1% steal, because the host itself
-(a shared VM) cycles between fast and ~2.2x-slow phases on minute
-timescales (the same fixed 20M-iteration Python loop read 1.17-1.29 s
-during quiet probes and 2.41-2.63 s inside slow phases, measured
-r16). `host_canary_start_sec` / `host_canary_end_sec` time that exact
-loop before the JVM starts and after the extended loop, so every
-BENCH file carries the host-speed evidence needed to distinguish "the
-plans regressed" from "the host was in a slow phase" without a
-side-channel. Costs ~2x2.5 s worst case against a ~8 min run.
+draw, on a rig with load 0.0 and <1% steal. Adjudicating that took a
+controlled A/B (same 17 keys, 1.08-1.44x uniform inflation, zero
+headline plan changes) plus two host probes, so the file now carries
+both probes itself: `host_canary_start_sec`/`host_canary_end_sec`
+time a fixed single-thread 20M-iteration integer loop (~1.2 s
+steady-state on this rig; function-scoped — module-level timings of
+the same loop read ~2x from dict-based global access, an artifact
+that briefly misread as a host phase during the r16 close), and
+`host_canary_bw_gbps_start`/`_end` time a sequential numpy sum over
+an 800 MB array. The pair separates the failure modes: scalar canary
+degraded = CPU-level contention (steal, sharing); scalar clean but
+bandwidth/walls degraded = shared-memory-bandwidth contention — the
+mode this rig's ±40% multi-thread breathing showed at the r16 close,
+which load, steal, and scalar CPU all read clean through. Costs ~4 s
+against a ~8 min run.
 """
 
 from __future__ import annotations
@@ -262,15 +268,33 @@ def _median(xs: list[float]) -> float:
 
 
 def _host_canary() -> float:
-    """Fixed single-thread CPU workload (~1.2 s on this rig's fast
-    phase, ~2.4-2.6 s in its slow phase — see the module docstring).
-    Pure-Python integer loop: no allocation, no vector units, no
-    page-cache dependence, so it reads HOST speed and nothing else."""
+    """Fixed single-thread CPU workload (~1.2 s steady-state on this
+    rig). Pure-Python integer loop in function scope (locals, not
+    globals — module-level runs ~2x on dict access): no allocation, no
+    vector units, no page-cache dependence, so it reads scalar host
+    CPU speed and nothing else."""
     t = time.time()
     x = 0
     for i in range(20_000_000):
         x += i * i
     return round(time.time() - t, 3)
+
+
+def _host_canary_bw() -> float | None:
+    """Sequential-read memory bandwidth in GB/s: three numpy sums over
+    an 800 MB array (first pass untimed — it pays the page faults).
+    The probe that detects the contention mode the scalar canary is
+    blind to (see module docstring); None if numpy is unavailable."""
+    try:
+        import numpy as np
+    except ImportError:  # bandwidth field degrades, bench still runs
+        return None
+    a = np.ones(100_000_000)
+    a.sum()
+    t = time.time()
+    for _ in range(3):
+        a.sum()
+    return round(3 * 0.8 / max(time.time() - t, 1e-9), 2)
 
 
 def _consume(df) -> None:
@@ -316,6 +340,7 @@ def main() -> None:
     except OSError:  # platform without getloadavg
         load1 = load5 = load15 = None
     canary_start = _host_canary()
+    canary_bw_start = _host_canary_bw()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -475,6 +500,7 @@ def main() -> None:
         if len(reps) > 1:
             extended_reps[name] = reps
     canary_end = _host_canary()
+    canary_bw_end = _host_canary_bw()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     emit(
         compact={
@@ -512,12 +538,14 @@ def main() -> None:
             )
             if extended
             else None,
-            # host-speed canary (r16): the fixed CPU loop timed before
-            # the JVM started and after the extended loop — slow-phase
-            # evidence (≳2 = ~2x-degraded host) that retry agreement
-            # cannot carry (see module docstring)
+            # host canaries (r16): scalar CPU loop + sequential memory
+            # bandwidth, each before the JVM started and after the
+            # extended loop — the contamination evidence retry
+            # agreement cannot carry (see module docstring)
             "host_canary_start_sec": canary_start,
             "host_canary_end_sec": canary_end,
+            "host_canary_bw_gbps_start": canary_bw_start,
+            "host_canary_bw_gbps_end": canary_bw_end,
         },
         detail={
             "detail": "per_rep",

@@ -509,9 +509,11 @@ def test_bench_emission_is_compact_contract_line_last(capsys):
         "dirty": False,
         "warmup_ext_total_sec": 45.9,
         "warmup_ext_over_total": 1.34,
-        # host-speed canary fields (r16)
+        # host canary fields (r16): scalar CPU + memory bandwidth
         "host_canary_start_sec": 2.63,
         "host_canary_end_sec": 1.17,
+        "host_canary_bw_gbps_start": 7.36,
+        "host_canary_bw_gbps_end": 7.62,
     }
     emit(compact, detail={"detail": "per_rep", "reps": [1.5] * 3})
     cap = capsys.readouterr()
