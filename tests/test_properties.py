@@ -1460,3 +1460,69 @@ def test_cohort_and_growth_match_python_reference(pb_spark, events):
         for r in qs["q_growth_accounting"](spark, d).collect()
     }
     assert got_gr == want_gr, events
+
+
+# --- salted half-pair combinatorics (similarity.salted_half_pairs) ---
+#
+# The Spark-side losslessness of the salting cap is pinned by the
+# planted-cluster equality tests (test_northstar.py) and by the oracle
+# replays; what those can't explore cheaply is the COMBINATORIAL claim
+# the split rests on, for arbitrary occupancy structure: with
+# s = ceil(occ/cap) salt groups per cell, LEFT keeping one
+# deterministic group per row and RIGHT replicating each row into all
+# s groups, every half-pair (a, b) with a.id < b.id in the same cell
+# matches EXACTLY ONCE — no pair lost (b's replicas cover every salt,
+# including a's) and no pair duplicated (exactly one replica of b
+# carries a's salt). This models the rule in pure Python and lets
+# hypothesis drive occupancies across the cap boundary (occ == cap →
+# s = 1 dormant; occ == cap + 1 → s = 2; mega-cells → s large),
+# duplicate-heavy id spaces, and adversarial salt-hash collisions via
+# a deliberately crude hash.
+
+_salt_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 5)),  # (id, cell)
+    min_size=0,
+    max_size=60,
+    unique_by=lambda r: r[0],  # ids unique, like doc_ids
+)
+
+
+def _crude_hash(n: int) -> int:
+    # stands in for xxhash64: deterministic, poorly mixed on purpose
+    # so low moduli see collisions and imbalance
+    return (n * 2654435761) & 0xFFFFFFFF
+
+
+@settings(max_examples=400, deadline=None)
+@given(rows=_salt_rows_strategy, cap=st.sampled_from([1, 2, 3, 5, 60]))
+def test_salted_half_pairs_rule_exact_once(rows, cap):
+    import math
+    from collections import Counter
+
+    occ = Counter(cell for _, cell in rows)
+    s_of = {cell: math.ceil(m / cap) for cell, m in occ.items()}
+    left = [(i, c, _crude_hash(i) % s_of[c]) for i, c in rows]
+    right = [
+        (i, c, salt) for i, c in rows for salt in range(s_of[c])
+    ]
+    got = Counter(
+        (a_id, b_id)
+        for a_id, a_cell, a_salt in left
+        for b_id, b_cell, b_salt in right
+        if a_cell == b_cell and a_salt == b_salt and a_id < b_id
+    )
+    want = Counter(
+        (a_id, b_id)
+        for a_id, a_cell in rows
+        for b_id, b_cell in rows
+        if a_cell == b_cell and a_id < b_id
+    )
+    # exactly once: same pair set AND every multiplicity is 1
+    assert got == want, (rows, cap)
+    assert all(v == 1 for v in got.values()), (rows, cap)
+    # the dormancy claim: cells at or under the cap get s == 1, so the
+    # salt column is constant there and the join degenerates to the
+    # historical plain self-join
+    assert all(
+        s_of[c] == 1 for c, m in occ.items() if m <= cap
+    ), (rows, cap)
