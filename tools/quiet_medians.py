@@ -50,8 +50,6 @@ def main() -> None:
     args = ap.parse_args()
     keys = args.keys or DEFAULT_KEYS
 
-    from pyspark.sql import functions as F
-
     from analyzing_user_behavior_on_a_website_using_apache_kafka_spark import (
         registry,
     )
@@ -59,10 +57,12 @@ def main() -> None:
         evict_caches,
         get_spark,
     )
-    from bench import _host_canary, _median
-
-    def consume(df) -> None:
-        df.select(F.sum(F.hash(*[F.col(c) for c in df.columns]))).collect()
+    from bench import (
+        _REPS_KEEP_CACHE,
+        _consume as consume,
+        _host_canary,
+        _median,
+    )
 
     spark = get_spark("quiet_medians")
     qs = registry.all_queries()
@@ -83,7 +83,12 @@ def main() -> None:
         consume(qs[name](spark, args.sf_dir))  # untimed warm-up
         reps = []
         for _ in range(args.reps):
-            evict_caches(spark)
+            # same cold-rep rule as bench.py's extended loop: keys in
+            # _REPS_KEEP_CACHE (q_dedup_clusters) time CC over the warm
+            # session memo — evicting would silently switch what the
+            # median measures to pairs+CC (bench.py's in-line comment)
+            if name not in _REPS_KEEP_CACHE:
+                evict_caches(spark)
             t0 = time.time()
             consume(qs[name](spark, args.sf_dir))
             reps.append(round(time.time() - t0, 3))
