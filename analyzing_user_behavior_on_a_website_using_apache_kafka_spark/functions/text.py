@@ -293,7 +293,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one shuffle for tf (doc_id, word), a df aggregate joined
     back onto tf on word, and N as a ONE-ROW aggregate cross-joined
     broadcast (mirroring the oracle's `n` CTE) — fully lazy, no
-    driver-side job during plan construction. The df side is UNHINTED:
+    driver-side job during plan construction. r16 one-scan audit: a
+    df-from-tf rewrite (df = COUNT(*) per word over tf — value-identical
+    to COUNT(DISTINCT doc_id)) was built and measured, in two variants
+    (plain, and count("tf") to block column pruning); Catalyst rewrites
+    count-of-non-nullable back to count(1) and prunes tf's count either
+    way, so the df subtree stays the DISTINCT(doc_id, word) tree it
+    already was and no exchange/stage reuse can fire (non-canonical
+    subtrees) — the executed physical plan is byte-identical to this
+    code's. Forcing one corpus pass would need tf persisted, which at
+    100 TB trades a |tf|-sized (trillions of rows) cache write+read
+    for the second scan+tokenize — a map-only, shuffle-free pass — so
+    the recompute is kept deliberately. The df side is UNHINTED:
     O(vocabulary) is NOT broadcastable at web scale — Heaps' law puts a
     100 TB corpus's distinct-word table in the billions of rows — so the
     join stays a plain equi-join on word that AQE promotes to broadcast

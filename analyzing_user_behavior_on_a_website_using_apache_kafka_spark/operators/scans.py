@@ -253,7 +253,25 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = tempfile.mkdtemp(prefix="aub_source_bin_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.write.mode("overwrite").partitionBy("doc_id").text(out)
+    # r16 (guide §2.6/§6): the dynamic-partition write is FILE-CREATION
+    # bound (one dir + one file + one commit rename per doc), so its
+    # wall scales with files-per-task, not bytes. The fixture table is
+    # one sub-4MB parquet file → a single write task paid all 5,000
+    # file creations sequentially (measured 62-73 s at sf0.1, identical
+    # on tmpfs — latency per file op, not disk). An EXPLICIT-width
+    # hash repartition on the partition key spreads the creations
+    # across every core: 4× defaultParallelism tasks (~40 files each;
+    # oversubscription overlaps the per-file latency) → 11-15 s
+    # measured. The width must be explicit — repartition(col) without a
+    # number is AQE-coalescible, and at these byte sizes AQE folds it
+    # straight back to one partition (measured: no improvement).
+    # Scale-adaptive by construction: defaultParallelism tracks the
+    # cluster, and at real blob sizes the write becomes byte-bound and
+    # the same layout streams normally.
+    write_width = 4 * spark.sparkContext.defaultParallelism
+    docs.repartition(write_width, F.col("doc_id")).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id").text(out)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")

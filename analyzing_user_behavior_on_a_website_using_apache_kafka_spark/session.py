@@ -73,6 +73,32 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
+        # r16 (guide §6): openCostInBytes is the bin-packing charge per
+        # file — the 4 MB default models object-store open latency and,
+        # combined with the 4 MB local maxPartitionBytes above, packs
+        # exactly ONE file per scan task, so a 5,000-file source (the
+        # binaryFile round-trip) ran 5,000 tasks (~4 s of pure
+        # scheduling). 64 KB reflects a local-fs open (µs) and packs
+        # ~60 small files per task (measured: binaryFile read+md5
+        # 4.1 s → 0.7-1.9 s, 5000 → 79 tasks). LOCAL-RIG value like
+        # maxPartitionBytes: on a cluster reading object storage keep
+        # the 4 MB default (or size to measured open latency) via the
+        # env var.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "65536"),
+        )
+        # r16 (guide §6): file-listing jobs for many-directory sources
+        # default to one task per path (up to 10,000) — on local[32]
+        # the 5,000-dir binaryFile tree spent ~10 s scheduling 5,000
+        # listing tasks that each stat one directory. 64 tasks of ~80
+        # dirs each list the same tree in ~1 s. On a real cluster with
+        # remote storage, raise via env (listing is latency-bound there
+        # and wants the width).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+            os.environ.get("SPARK_GRAFT_LIST_PARALLELISM", "64"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
