@@ -128,11 +128,20 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity — verified identical at sf0.001/0.01/0.1 including the
     multi-hop rows.
 
-    Scale: the recursion operates on the AGGREGATED type graph
-    (O(types²) rows after one partial-agg pass + one user-partitioned
-    window over raw events) — iterative joins touch only the tiny
-    edge relation, never the corpus; this is the same
-    aggregate-first-then-iterate discipline as connected_components.
+    Scale: the recursion is WRITTEN aggregate-first (the `edges` CTE
+    reduces the corpus to an O(types²) graph before any iteration —
+    the same discipline as connected_components), but Spark 4.1's
+    UnionLoop INLINES the non-recursive CTE into the loop body: the
+    executed plan (plans/r16/q_sql_recursive_before.txt) re-runs the
+    events window + aggregation subtree inside EVERY iteration's join,
+    so the corpus is scanned once per hop (≤5×), not once. r16
+    optimization audit: no CTE-materialization hook exists for
+    UnionLoop, and hoisting `edges` out of the string (temp view /
+    DataFrame cache) would break this family's same-string
+    cross-engine contract — the recomputation is an engine limitation,
+    recorded in OPTIMIZATION_r16.md "Not yet optimized". At scale,
+    prefer materializing the edge relation explicitly ahead of a
+    recursive query (connected_components shows that staging).
     """
     return _run(spark, sf_dir, _SQL_RECURSIVE)
 

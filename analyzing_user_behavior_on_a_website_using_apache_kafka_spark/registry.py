@@ -90,21 +90,24 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 # here follow in module registration order.
 _PRIORITY: tuple[str, ...] = (
     # Round-16 window, from `python tools/propose_window.py --changed
-    # q_dedup_near,q_dedup_simhash`.  TWO changed keys lead: both band
-    # self-joins now route through similarity.salted_half_pairs with
-    # cell key (band_id, band_key) and broadcast=False (VERDICT r15
-    # item 2 — the declared application of the r15 salting cap) — their
-    # PLANS changed at every scale (occupancy window + cold/hot split
-    # on the band join) while the OUTPUT pair sets are byte-identical
-    # (lossless split, planted-cluster equality tests; sf0.01 oracles
-    # re-verified tuned + vanilla; at sf0.1 the cap genuinely engages
-    # on the self-similar fixture — SCALE.md r16).  Then the THREE
-    # r12-stale NEXT_WINDOW_LEADS declared last round (MANDATORY per
-    # the slip rule, VERDICT r15 item 1), then 45 of the 47 remaining
-    # r13-checked at-bound keys; TWO r13 keys slip to r17
-    # (NEXT_WINDOW_LEADS below: q_funnel_conversion,
-    # q_growth_accounting — their families keep in-window members).
-    # Window arithmetic: 2 + 3 + 45 = 50.
+    # q_dedup_near,q_dedup_simhash,q_udf_cogroup,q_udaf_grouped,
+    # q_agg_approx_distinct,q_source_binaryfile`.  SIX changed keys
+    # lead. Two from the band-join salting (VERDICT r15 item 2): both
+    # band self-joins route through similarity.salted_half_pairs with
+    # cell key (band_id, band_key) and broadcast=False — plans changed
+    # at every scale, OUTPUT pair sets byte-identical (lossless split,
+    # planted-cluster equality tests; sf0.01 oracles re-verified tuned
+    # + vanilla; at sf0.1 the cap genuinely engages — SCALE.md r16).
+    # Four from the r16 OPTIMIZATION pass (OPTIMIZATION_r16.md):
+    # cogroup/udaf pandas→Arrow swaps, the approx_distinct
+    # dedup-before-sketch rewrite, and the binaryFile parallel
+    # partitioned write — each output-hash-identical and oracle-
+    # verified at sf0.001/0.01 tuned + vanilla.  Then the THREE
+    # r12-stale NEXT_WINDOW_LEADS declared in r15 (MANDATORY per the
+    # slip rule), then 41 of the 46 remaining r13-checked at-bound
+    # keys; FIVE r13 keys slip to r17 (NEXT_WINDOW_LEADS below —
+    # their families keep in-window members).
+    # Window arithmetic: 6 + 3 + 41 = 50.
     # Standing guard:
     # tests/test_registry.py::test_rotation_remains_feasible_three_rounds_ahead.
     # Any key whose served plan changes must be promoted to the FRONT
@@ -112,6 +115,10 @@ _PRIORITY: tuple[str, ...] = (
     # --- changed this round ---
     "q_dedup_near",
     "q_dedup_simhash",
+    "q_udf_cogroup",
+    "q_udaf_grouped",
+    "q_agg_approx_distinct",
+    "q_source_binaryfile",
     # --- past staleness bound (last r12) ---
     "q_union_all",
     "q_union_distinct",
@@ -130,9 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_event_dwell",
     "q_event_transitions",
     "q_filter_eq",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_range",
     "q_join_anti",
     "q_join_asof",
     "q_join_broadcast",
@@ -159,7 +163,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_text_unigram_logprob",
     "q_text_vocab",
-    "q_udaf_grouped",
     "q_udf_pandas",
     "q_win_lag_lead",
 )
@@ -176,6 +179,9 @@ _PRIORITY: tuple[str, ...] = (
 # (tests/test_registry.py::test_next_window_leads_are_genuine_slips
 # fails if a listed key is fresh, unregistered, or in-window).
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_range",
     "q_funnel_conversion",
     "q_growth_accounting",
 )
