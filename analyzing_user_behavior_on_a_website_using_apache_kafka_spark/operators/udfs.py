@@ -5,9 +5,12 @@ The explicit slow-path hierarchy (SURVEY §2.2):
 1. built-in functions (everything else in this package) — JVM, codegen;
 2. ``pandas_udf`` — Arrow-batched, vectorized NumPy/pandas, ~10-100× the
    row-at-a-time path;
-3. ``applyInPandas`` — grouped custom aggregation (full group as a pandas
-   DataFrame; requires the group to fit in executor memory — at 100 TB
-   that means aggregating/sampling per group first if groups are huge);
+3. ``applyInArrow`` / ``applyInPandas`` — grouped custom aggregation
+   (full group materialized per Python call; requires the group to fit
+   in executor memory — at 100 TB that means aggregating/sampling per
+   group first if groups are huge). r16: the two grouped surfaces here
+   use the Arrow variant — same operator, no per-group pandas
+   conversion tax (guide §4.2; 4.8×/7.6× measured);
 4. row-at-a-time ``udf`` — demonstrated once, never used in a hot path.
 """
 
