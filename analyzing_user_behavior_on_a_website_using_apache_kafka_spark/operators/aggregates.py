@@ -121,13 +121,18 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     pairs = o.select("o_orderpriority", "o_custkey").distinct()
+    # count("o_custkey"), not count(*) (ADVICE r16): the exact side of
+    # the tolerance check must skip a null custkey exactly as the old
+    # countDistinct and the approx sketch both do — count(*) would
+    # count a (priority, NULL) pair. Latent on TPC-H (o_custkey is
+    # non-null) but free to keep equivalent.
+    exact = F.count("o_custkey")
     return pairs.groupBy("o_orderpriority").agg(
         F.when(
             F.abs(
-                F.approx_count_distinct("o_custkey", rsd=0.01)
-                - F.count(F.lit(1))
+                F.approx_count_distinct("o_custkey", rsd=0.01) - exact
             )
-            <= 0.05 * F.count(F.lit(1)),
+            <= 0.05 * exact,
             F.lit(1),
         )
         .otherwise(F.lit(0))

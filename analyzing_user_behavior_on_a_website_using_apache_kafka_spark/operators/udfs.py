@@ -19,6 +19,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+# Explicit submodule import (ADVICE r16): `pa.compute` is only an
+# attribute of the parent package after pyarrow.compute has been
+# imported SOMEWHERE — today a lazy import inside pyspark's Arrow
+# type-conversion happens to run first in every worker, but relying on
+# that is a pyspark-internal refactor away from an AttributeError.
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,7 +135,18 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)
-        q = np.quantile(v, [0.5, 0.9])
+        # Null discipline (ADVICE r16): a NULL events.value arrives as
+        # NaN here, and np.quantile PROPAGATES NaN where the r15 pandas
+        # path (Series.quantile) and the JVM percentile twin both drop
+        # it. Filter to keep the declared ignore-nulls semantics; an
+        # all-null group yields NaN outputs explicitly (cnt still
+        # counts every row, matching COUNT(*)).
+        v = v[~np.isnan(v)]
+        q = (
+            np.quantile(v, [0.5, 0.9])
+            if v.size
+            else np.array([float("nan"), float("nan")])
+        )
         return pa.table(
             {
                 "user_id": pa.array(
@@ -202,7 +219,7 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def profile(key, orders_t: pa.Table, events_t: pa.Table):
         n_orders = orders_t.num_rows
         spend = (
-            pa.compute.sum(orders_t.column("o_totalprice")).as_py()
+            pc.sum(orders_t.column("o_totalprice")).as_py()
             if n_orders
             else 0.0
         )
